@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.extract.Extractor
+import graft.modelbuild.ModelBuild
+import graft.disambig.Disambiguator
+import graft.filter.AnnotationFilters
+import graft.sources.{NTriples, SyntheticCorpus}
+import graft.spot.Spotter
+import graft.triples.Triples
+
+/**
+ * End-to-end facade: model build over a web_pages corpus, then the
+ * flagship annotate path (§3.1 restatement in SURVEY.md) —
+ * web_pages → extract → paragraphs → spots → candidates → scored →
+ * annotations → filters → triples.
+ *
+ * Holds the intermediate model tables so tests, SparkEntry.queries,
+ * Verify and Bench can expose any stage as a DataFrame.
+ */
+final case class Model(
+    paragraphs: Dataset[ParagraphRow],
+    occurrences: Dataset[OccurrenceRow],
+    closure: DataFrame,
+    surfaceForms: Dataset[SurfaceFormRow],
+    resources: Dataset[ResourceRow],
+    candidates: Dataset[CandidateRow],
+    tokenTypes: Dataset[TokenTypeRow],
+    entityContexts: Dataset[EntityContextRow],
+    totals: ModelBuild.Totals)
+
+object Annotate {
+
+  /** Build all model tables from a corpus + graph dumps. Caches the dims
+   *  (they are re-used by several downstream joins). */
+  def buildModel(spark: SparkSession,
+                 pages: Dataset[WebPage],
+                 redirectsNt: Seq[String],
+                 disambiguationsNt: Seq[String],
+                 instanceTypesNt: Seq[String],
+                 withTotalCounts: Boolean = true): Model = {
+    import spark.implicits._
+    val ns = "http://dbpedia.org/resource/"
+
+    val redirects = NTriples.stripNamespace(NTriples.fromStrings(spark, redirectsNt), ns)
+    val disambigs = NTriples.stripNamespace(NTriples.fromStrings(spark, disambiguationsNt), ns)
+    val instanceTypes = NTriples.stripNamespace(NTriples.fromStrings(spark, instanceTypesNt), ns)
+      .withColumn("obj", regexp_replace(
+        regexp_replace(col("obj"), "http://dbpedia.org/ontology/", "DBpedia:"),
+        "http://schema.org/", "Schema:"))
+
+    val extracted = Extractor.extracted(pages)
+    val paragraphs = Extractor.paragraphs(extracted).cache()
+    val occurrences = Extractor.occurrences(pages).cache()
+
+    val closure = ModelBuild.redirectClosure(redirects).cache()
+    val resolved = ModelBuild.resolvedOccurrences(occurrences, closure, disambigs).cache()
+
+    // first pass without raw totals (needed to build the full dictionary)
+    val sfsAnnotatedOnly = ModelBuild.surfaceForms(occurrences, None)
+    val sfs = (if (withTotalCounts) {
+      val fullDict = Spotter.buildAutomaton(sfsAnnotatedOnly, minAnnotationProbability = 0.0)
+      val bc = spark.sparkContext.broadcast(fullDict)
+      val tc = Spotter.totalCounts(paragraphs, bc)
+      ModelBuild.surfaceForms(occurrences, Some(tc))
+    } else sfsAnnotatedOnly).cache()
+
+    val resources = ModelBuild.resources(resolved, instanceTypes).cache()
+    val candidates = ModelBuild.candidates(resolved, sfs, resources).cache()
+    val tokenTypes = ModelBuild.tokenTypes(paragraphs, sfs).cache()
+    val entityContexts = ModelBuild.entityContexts(resolved, resources, tokenTypes).cache()
+    val totals = ModelBuild.totals(sfs, resources, tokenTypes)
+
+    Model(paragraphs, occurrences, closure, sfs, resources, candidates,
+      tokenTypes, entityContexts, totals)
+  }
+
+  /** The annotate path over the model's own paragraphs (or any other
+   *  paragraph set): spots → candidates → scored. */
+  def scored(spark: SparkSession, m: Model,
+             cfg: Disambiguator.Config = Disambiguator.Config()): DataFrame = {
+    val bc = spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms))
+    val raw = Spotter.spots(m.paragraphs, bc)
+    val gated = Spotter.gatedSpots(raw, m.surfaceForms)
+    val spotCands = Disambiguator.spotCandidates(gated, m.surfaceForms, m.candidates, cfg)
+    val docTokens = Disambiguator.docTokenHistogram(m.paragraphs, m.tokenTypes)
+    Disambiguator.scored(spotCands, docTokens, m.entityContexts, m.resources, m.totals, cfg)
+  }
+
+  /** Filtered best-per-spot annotations (server defaults). */
+  def annotations(spark: SparkSession, m: Model,
+                  conf: Double = 0.1, minSupport: Long = 10): Dataset[AnnotationRow] = {
+    import spark.implicits._
+    val best = Disambiguator.best(scored(spark, m)).as[AnnotationRow]
+    AnnotationFilters.standardChain(best, conf, minSupport)
+  }
+
+  /** Full output graph. */
+  def triples(spark: SparkSession, m: Model): Dataset[TripleRow] =
+    Triples.all(annotations(spark, m), m.resources, m.closure)
+
+  /** Convenience: model over the synthetic corpus at a given size. */
+  def syntheticModel(spark: SparkSession, nDocs: Long, withTotalCounts: Boolean = true): Model =
+    buildModel(spark,
+      SyntheticCorpus.webPages(spark, nDocs),
+      SyntheticCorpus.redirectsNt,
+      SyntheticCorpus.disambiguationsNt,
+      SyntheticCorpus.instanceTypesNt,
+      withTotalCounts)
+}

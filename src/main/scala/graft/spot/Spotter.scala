@@ -1,0 +1,123 @@
+package graft.spot
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.{ParagraphRow, SpotRow, SurfaceFormRow}
+
+/**
+ * Surface-form spotting (P1/P4/P11): a broadcast Aho-Corasick automaton
+ * applied partition-wise over paragraphs — a map-only stage with no
+ * shuffle, exactly the "scan + dictionary match" family of the reference
+ * (core/.../spot/ahocorasick/AhoCorasickSpotter.scala:35-186, gating from
+ * db/FSASpotter.scala:108 and db/DBSpotter.scala:112-117).
+ *
+ * The automaton is built on the driver from the surface-form store (the
+ * reference builds its FSA dictionary the same way,
+ * CreateSpotlightModel.scala:226-228) and shipped once per job.
+ */
+object Spotter {
+
+  /** Dictionary gate: only surface forms with annotationProbability ≥
+   *  `minAnnotationProbability` (0.1, FSASpotter.scala:108) and at least
+   *  one annotation enter the automaton. Collect is driver-side by design:
+   *  the dictionary is the broadcast dimension (~10^6-10^7 strings at full
+   *  scale, same order as the reference's in-memory FSA). */
+  def buildAutomaton(sfs: Dataset[SurfaceFormRow],
+                     minAnnotationProbability: Double = 0.1,
+                     caseSensitive: Boolean = true): AhoCorasick = {
+    val spark = sfs.sparkSession
+    import spark.implicits._
+    val dict = sfs
+      .filter(annotationProbability(col("annotated_count"), col("total_count"))
+        >= minAnnotationProbability && col("annotated_count") > 0)
+      .select($"sf").as[String]
+      .collect()
+    AhoCorasick.build(dict, caseSensitive)
+  }
+
+  /** annotationProbability = annotated/total, 1.0 when total = −1
+   *  (reference: model/SurfaceForm.scala:51-61). */
+  def annotationProbability(annotated: org.apache.spark.sql.Column,
+                            total: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(total <= 0L, lit(1.0)).otherwise(annotated.cast("double") / total.cast("double"))
+
+  /** Non-overlapping, word-aligned, leftmost-longest spots per paragraph. */
+  def spots(paragraphs: Dataset[ParagraphRow], bc: Broadcast[AhoCorasick]): Dataset[SpotRow] = {
+    val spark = paragraphs.sparkSession
+    import spark.implicits._
+    paragraphs.mapPartitions { it =>
+      val ac = bc.value
+      it.flatMap { p =>
+        ac.findNonOverlapping(p.para_text).iterator.map { m =>
+          SpotRow(p.url, p.para_idx, m.start,
+            p.para_text.substring(m.start, m.end), 0.0)
+        }
+      }
+    }
+  }
+
+  /** Spot filtering (P4): join the surface-form store, compute the spot
+   *  score = annotationProbability, gate at `threshold` (0.25 — the
+   *  reference's no-weights spotter threshold, DBSpotter.scala:112-117).
+   *  surface_forms is the small dim → broadcast hash join, no shuffle of
+   *  the big spots side. */
+  def gatedSpots(rawSpots: Dataset[SpotRow], sfs: Dataset[SurfaceFormRow],
+                 threshold: Double = 0.25): DataFrame =
+    rawSpots.drop("spot_prob")
+      .join(broadcast(sfs.select(col("sf"), col("annotated_count"), col("total_count"))), Seq("sf"))
+      .withColumn("spot_prob",
+        annotationProbability(col("annotated_count"), col("total_count")))
+      .filter(col("spot_prob") >= threshold)
+      .select("url", "para_idx", "offset", "sf", "spot_prob")
+
+  /** A1 total counts: word-aligned overlap-mode match counts of every
+   *  dictionary surface form over all paragraph text (the raw-string
+   *  total of sfAndTotalCounts; SurfaceFormSource.scala:25-63 consumes the
+   *  same quantity from Pig). Map-side combinable by construction. */
+  def totalCounts(paragraphs: Dataset[ParagraphRow], bc: Broadcast[AhoCorasick]): DataFrame = {
+    val spark = paragraphs.sparkSession
+    import spark.implicits._
+    paragraphs.mapPartitions { it =>
+      val ac = bc.value
+      it.flatMap { p =>
+        ac.findAllAligned(p.para_text).iterator
+          .map(m => p.para_text.substring(m.start, m.end))
+      }
+    }.toDF("sf")
+      .groupBy("sf").agg(count(lit(1)).as("total_count"))
+  }
+
+  /** P11 ShortSurfaceFormSelector: drop spots shorter than 3 chars
+   *  (spot/ShortSurfaceFormSelector.scala:10-15). */
+  def dropShortSpots(spots: DataFrame, minLen: Int = 3): DataFrame =
+    spots.filter(length(col("sf")) >= minLen)
+
+  /** P11 NonCommonWordSelector: drop spots whose sf is in a common-words
+   *  dictionary (spot/NonCommonWordSelector.scala:23-62) — anti join. */
+  def dropCommonWords(spots: DataFrame, commonWords: DataFrame): DataFrame =
+    spots.join(broadcast(commonWords.select(col("word").as("sf"))), Seq("sf"), "left_anti")
+
+  /** R5: duplicate spot removal (DBSpotter.scala:131 `spots.distinct`). */
+  def distinctSpots(spots: DataFrame): DataFrame =
+    spots.dropDuplicates("url", "para_idx", "offset", "sf")
+
+  /** P12: uppercase-sequence spans `([A-Z][^ ,!?.:;]*[ ]?)+`
+   *  (db/DBSpotter.scala:23-29) — candidate spans for FSA-style spotting. */
+  def capitalSequences(paragraphs: Dataset[ParagraphRow]): DataFrame = {
+    val spark = paragraphs.sparkSession
+    import spark.implicits._
+    paragraphs.toDF()
+      .select(col("url"), col("para_idx"),
+        explode(expr("regexp_extract_all(para_text, '([A-Z][^ ,!?.:;]*[ ]?)+', 0)")).as("span"))
+      .withColumn("span", trim(col("span")))
+      .filter(length(col("span")) > 0)
+  }
+
+  /** C2-style top-k helper on any scored DataFrame. */
+  def topKPerKey(df: DataFrame, keys: Seq[String], order: org.apache.spark.sql.Column, k: Int): DataFrame =
+    df.withColumn("_rk", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(order)))
+      .filter(col("_rk") <= k).drop("_rk")
+}

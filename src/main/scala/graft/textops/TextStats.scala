@@ -1,0 +1,106 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a large-scale training-data pipeline:
+ * token counting, quality scoring, language ID, document fingerprinting.
+ * All column-expression based (whole-stage codegen) except the explicit
+ * UDF cases; every function is a narrow map over the documents table.
+ */
+object TextStats {
+
+  /** Whitespace token count (split on runs of whitespace). */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: splits on whitespace AND letter/digit/punct
+   *  boundaries — a cheap proxy for tokenizer load estimation. */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\\d)|(?<=\\d)(?=[A-Za-z])"))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Distinct-word ratio — near-0 for degenerate repetition. */
+  def distinctWordRatio(text: Column): Column =
+    size(array_distinct(split(lower(trim(text)), "\\s+"))).cast("double") /
+      greatest(size(split(trim(text), "\\s+")), lit(1)).cast("double")
+
+  /** Stopword ratio over whitespace tokens (English list). */
+  def stopwordRatio(text: Column): Column = {
+    val stops = graft.util.TextUtil.StopWords.toArray
+    val toks = split(lower(trim(text)), "\\s+")
+    size(array_intersect(toks, lit(stops))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+    // note: array_intersect dedups; use filter for exact multiplicity
+  }
+
+  /** Exact stopword token fraction (multiplicity preserved). */
+  def stopwordFraction(text: Column): Column = {
+    val stops = graft.util.TextUtil.StopWords.toArray
+    val toks = split(lower(trim(text)), "\\s+")
+    size(filter(toks, t => array_contains(lit(stops), t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1] — heuristics in the spirit of
+   *  C4/Gopher-style filters: penalize very short docs, heavy
+   *  punctuation, low lexical diversity. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5, lit(1.0))
+    val diversity = distinctWordRatio(text)
+    round((lenScore * 0.4 + punctPenalty * 0.3 + diversity * 0.3), 6)
+  }
+
+  /** n-gram-heuristic language ID over a tiny per-language profile of
+   *  frequent function words — deterministic UDF, returns (lang, score).
+   *  At 100 TB this is a map-only stage; profiles are compiled in. */
+  private val langProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"),
+    "fr" -> Set("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"),
+    "es" -> Set("el", "la", "los", "y", "es", "de", "que", "en", "un", "por"),
+    "it" -> Set("il", "la", "che", "e", "di", "un", "per", "con", "del", "sono"))
+
+  val langIdUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) ("und", 0.0)
+    else {
+      val toks = text.toLowerCase.split("\\s+").take(512)
+      val scores = langProfiles.map { case (lang, words) =>
+        lang -> toks.count(words.contains).toDouble / math.max(toks.length, 1)
+      }
+      val (best, score) = scores.maxBy(_._2)
+      if (score == 0.0) ("und", 0.0) else (best, score)
+    }
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint of the full document
+   *  (deterministic; base 1099511628211 — FNV prime). */
+  val fingerprintUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < text.length) { h = (h ^ text.charAt(i)) * 0x100000001b3L; i += 1 }
+      h
+    }
+  }
+
+  /** All stats in one pass over documents(doc_id, text, ...). */
+  def documentStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).as("n_chars"),
+      round(punctRatio(col("text")), 6).as("punct_ratio"),
+      round(stopwordFraction(col("text")), 6).as("stopword_fraction"),
+      round(distinctWordRatio(col("text")), 6).as("distinct_word_ratio"),
+      qualityScore(col("text")).as("quality_score"),
+      langIdUdf(col("text")).getField("_1").as("lang_pred"),
+      fingerprintUdf(col("text")).as("fingerprint"))
+}

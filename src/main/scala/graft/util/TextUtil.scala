@@ -1,0 +1,107 @@
+package graft.util
+
+import java.text.BreakIterator
+import java.util.Locale
+import scala.collection.mutable.ArrayBuffer
+import graft.model.Tok
+
+/**
+ * Scalar text functions shared by extraction, model build and annotate.
+ * Semantics ported from the reference (cited per function); all pure and
+ * deterministic so they can run as codegen-bounded UDFs.
+ */
+object TextUtil {
+
+  /** Smart-apostrophe normalization applied to every text / surface form
+   *  (reference: model/Text.scala:27, model/SurfaceForm.scala:36). */
+  def normalizeApostrophe(s: String): String = s.replace('’', '\'')
+
+  /** Collapse runs of whitespace/underscores to a single space and trim
+   *  (reference: DBpedia WikiUtil.cleanSpace used by SurfaceForm/DBpediaResource). */
+  def cleanSpace(s: String): String =
+    s.replaceAll("[\\s_]+", " ").trim
+
+  /** Wiki-encode a page title into a URI fragment: cleaned spaces become
+   *  underscores, characters outside the MediaWiki-safe set are
+   *  percent-encoded (reference: DBpediaResource.scala:33-35 via WikiUtil.wikiEncode). */
+  def wikiEncode(title: String): String = {
+    val cleaned = cleanSpace(title).replace(' ', '_')
+    val sb = new StringBuilder(cleaned.length)
+    cleaned.foreach { c =>
+      if (c.isLetterOrDigit || "_-.~!$&'()*+,;=:@/".indexOf(c) >= 0) sb.append(c)
+      else {
+        val bytes = c.toString.getBytes("UTF-8")
+        bytes.foreach(b => sb.append(f"%%${b & 0xff}%02X")): Unit
+      }
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[wikiEncode]] for title-derived surface forms
+   *  (reference: ExtractCandidateMap.scala:172-243 uses wikiDecode on URIs). */
+  def wikiDecode(uri: String): String = {
+    val decoded = java.net.URLDecoder.decode(uri, "UTF-8")
+    cleanSpace(decoded.replace('_', ' '))
+  }
+
+  /** Articles dropped by surface-form normalization
+   *  (reference: MemorySurfaceFormStore.scala:38). */
+  val SfStopWords: Set[String] = Set("the", "an", "a")
+
+  /** Normalized surface-form key used as candidate-lookup fallback
+   *  (reference: MemorySurfaceFormStore.normalize, :40-41). */
+  def sfNormalize(sf: String): String =
+    "/" + sf.replaceAll("[\\p{Punct}]+", " ").toLowerCase
+      .split(" ").filter(w => !SfStopWords.contains(w)).mkString(" ")
+
+  /** English stopword list used to mark STOPWORD tokens (reference ships
+   *  per-language stopword files; tokenizer marks them,
+   *  db/tokenize/LanguageIndependentTokenizer.scala:36-40). */
+  val StopWords: Set[String] = Set(
+    "a", "an", "the", "and", "or", "but", "of", "in", "on", "at", "to",
+    "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
+    "been", "being", "it", "its", "this", "that", "these", "those", "he",
+    "she", "they", "them", "his", "her", "their", "we", "you", "i", "not",
+    "no", "so", "if", "then", "than", "too", "very", "can", "will", "just",
+    "into", "over", "after", "before", "between", "out", "up", "down",
+    "about", "against", "during", "through", "above", "below", "again",
+    "further", "once", "here", "there", "when", "where", "why", "how",
+    "all", "any", "both", "each", "few", "more", "most", "other", "some",
+    "such", "only", "own", "same", "s", "t", "do", "does", "did", "have",
+    "has", "had", "having", "what", "which", "who", "whom", "am", "also")
+
+  /** Locale-based BreakIterator word tokenization, skipping spans that
+   *  start with whitespace — semantics of the reference's
+   *  LanguageIndependentTokenizer (db/tokenize/LanguageIndependentTokenizer.scala:85-104).
+   *  Stemmer is identity (the reference's default `Stemmer()` when no
+   *  Snowball model is configured, CreateSpotlightModel.scala:223-224). */
+  def tokenize(text: String): Array[Tok] = {
+    val it = BreakIterator.getWordInstance(Locale.ENGLISH)
+    it.setText(text)
+    val out = new ArrayBuffer[Tok](text.length / 5 + 4)
+    var start = it.first()
+    var end = it.next()
+    while (end != BreakIterator.DONE) {
+      if (!Character.isWhitespace(text.charAt(start))) {
+        val tok = text.substring(start, end)
+        out += Tok(tok, start, StopWords.contains(tok.toLowerCase(Locale.ENGLISH)))
+      }
+      start = end
+      end = it.next()
+    }
+    out.toArray
+  }
+
+  /** True if the token carries content for context scoring: at least one
+   *  letter or digit (filters pure punctuation spans that BreakIterator
+   *  emits; the reference's Pig token_counts likewise analyzer-filtered
+   *  punctuation before counting). */
+  def isWordToken(t: String): Boolean = t.exists(_.isLetterOrDigit)
+
+  /** Content tokens of a text, lowercased: the token stream used for both
+   *  entity-context building (A4) and query histograms (D1). Stopwords and
+   *  punctuation are excluded consistently on both sides, so generative
+   *  scores stay comparable. */
+  def contentTokens(text: String): Array[String] =
+    tokenize(text).collect { case t if !t.is_stop && isWordToken(t.token) => t.token.toLowerCase(Locale.ENGLISH) }
+}
