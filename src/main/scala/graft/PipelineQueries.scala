@@ -31,28 +31,56 @@ object PipelineQueries {
     "p_candidates" -> ((s, _) => m(s).candidates.toDF()),
     "p_token_types" -> ((s, _) => m(s).tokenTypes.toDF()),
     "p_entity_contexts" -> ((s, _) => m(s).entityContexts.toDF()),
-    "p_spots" -> ((s, _) => {
-      val mm = m(s)
-      val bc = s.sparkContext.broadcast(graft.spot.Spotter.buildAutomaton(mm.surfaceForms))
-      graft.spot.Spotter.gatedSpots(graft.spot.Spotter.spots(mm.paragraphs, bc), mm.surfaceForms)
-    }),
-    "p_scored" -> ((s, _) => Annotate.scored(s, m(s)).drop("types", "path")),
-    "p_top1" -> ((s, _) => Disambiguator.best(Annotate.scored(s, m(s))).drop("types")),
-    "p_annotations" -> ((s, _) => {
-      import s.implicits._
-      Annotate.annotations(s, m(s)).toDF().drop("types")
-    }),
+    "p_spots" -> ((s, _) => SparkEntry.gated(s)),
+    "p_scored" -> ((s, _) => SparkEntry.scored(s).drop("types", "path")),
+    "p_top1" -> ((s, _) => Disambiguator.best(SparkEntry.scored(s)).drop("types")),
+    "p_annotations" -> ((s, _) =>
+      Annotate.annotationsFrom(s, SparkEntry.scored(s)).toDF().drop("types")),
     "p_baseline_disambig" -> ((s, _) => {
       val mm = m(s)
-      val bc = s.sparkContext.broadcast(graft.spot.Spotter.buildAutomaton(mm.surfaceForms))
-      val gated = graft.spot.Spotter.gatedSpots(graft.spot.Spotter.spots(mm.paragraphs, bc), mm.surfaceForms)
-      val sc = Disambiguator.spotCandidates(gated, mm.surfaceForms, mm.candidates)
+      val sc = Disambiguator.spotCandidates(SparkEntry.gated(s), mm.surfaceForms, mm.candidates)
       Disambiguator.baseline(sc, mm.resources).drop("types")
     }),
-    "p_triples" -> ((s, _) => Annotate.triples(s, m(s)).toDF()),
+    "p_triples" -> ((s, _) => Annotate.triplesFrom(s, m(s), SparkEntry.scored(s)).toDF()),
     "p_ntriples_parse" -> ((s, _) =>
       NTriples.fromStrings(s, SyntheticCorpus.redirectsNt ++
         SyntheticCorpus.disambiguationsNt ++ SyntheticCorpus.instanceTypesNt)),
+    "p_tficf_top1" -> ((s, _) => {
+      // D4: alternative TF*ICF scoring ranked per spot
+      val mm = m(s)
+      val sc = Disambiguator.spotCandidates(SparkEntry.gated(s), mm.surfaceForms, mm.candidates)
+      val docTokens = Disambiguator.docTokenHistogram(mm.paragraphs, mm.tokenTypes)
+      val tficf = Disambiguator.tficfScores(
+        sc.select("url", "para_idx", "res_id").distinct(), docTokens, mm.entityContexts)
+      sc.join(tficf, Seq("url", "para_idx", "res_id"), "left")
+        .withColumn("tficf_score", round(coalesce(col("tficf_score"), lit(0.0)), 9))
+        .withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("url", "para_idx", "offset")
+            .orderBy(col("tficf_score").desc, col("res_id"))))
+        .filter(col("_rk") === 1).drop("_rk")
+        .select("url", "para_idx", "offset", "sf", "res_id", "tficf_score")
+    }),
+    "p_context_words" -> ((s, _) => {
+      // R11: top context words per resource (explain path)
+      val mm = m(s)
+      Disambiguator.topContextWords(mm.entityContexts, mm.tokenTypes, n = 5)
+    }),
+    "p_doc_tags" -> ((s, _) =>
+      // R12: top-k entities per document by best similarity
+      Disambiguator.topTagsPerDoc(SparkEntry.scored(s), k = 5)
+        .select("url", "uri", "n_spots", "rank")),
+    "p_ngram_corrected_sfs" -> ((s, _) =>
+      // A7: longest-annotation total-count correction
+      graft.modelbuild.ModelBuild.ngramTotalCorrection(m(s).surfaceForms).toDF()),
+    "p_train_test_split" -> ((s, _) => {
+      // R6: deterministic hash split — emits per-bucket counts
+      val (train, test) = graft.modelbuild.ModelBuild.hashSplit(
+        m(s).occurrences.toDF().drop("para_text"), "id", testFraction = 0.2)
+      train.withColumn("split", lit("train"))
+        .unionByName(test.withColumn("split", lit("test")))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+    }),
     "p_eval_gate" -> ((s, _) => {
       // single-row P/R + accuracy summary — the ≥0.95 gate, queryable
       val mm = m(s)
@@ -61,7 +89,7 @@ object PipelineQueries {
         "http://dbpedia.org/resource/")
       val gold = graft.modelbuild.ModelBuild.resolvedOccurrences(
         mm.occurrences.filter(col("provenance") === "Wikipedia"), mm.closure, disambigs)
-      val scored = Annotate.scored(s, mm)
+      val scored = SparkEntry.scored(s)
       val sm = graft.eval.Evaluator.spotting(gold,
         scored.select("url", "para_idx", "offset", "sf").distinct())
       val dm = graft.eval.Evaluator.disambiguation(gold, scored)

@@ -79,12 +79,16 @@ object RelationalQueries {
         .select("l_orderkey", "l_linenumber", "softmax")
     }),
 
-    // R8-family: prior = share of a global total (window over ())
-    "r_prior_share" -> ((s, d) =>
-      t(s, d, "supplier")
-        .withColumn("prior",
-          round(col("s_acctbal") / sum(col("s_acctbal")).over(Window.partitionBy()), 9))
-        .select("s_suppkey", "prior")),
+    // R8-family: prior = share of a global total. Computed as a scalar
+    // aggregate broadcast back onto the rows (a global window over ()
+    // would funnel every row through one partition at scale).
+    "r_prior_share" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+      val total = sup.agg(sum(col("s_acctbal")).as("_total"))
+      sup.crossJoin(broadcast(total))
+        .withColumn("prior", round(col("s_acctbal") / col("_total"), 9))
+        .select("s_suppkey", "prior")
+    }),
 
     // F1-F3-family: filter chain with thresholds
     "r_filter_chain" -> ((s, d) =>
@@ -94,10 +98,12 @@ object RelationalQueries {
           col("l_returnflag") === "R")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
 
-    // F5-family: semi/anti joins against a key list
+    // F5-family: semi/anti joins against a key list (filtered subset so
+    // the result is non-empty and the anti-join is actually exercised)
     "r_anti_join" -> ((s, d) =>
       t(s, d, "part").join(
-        t(s, d, "lineitem").select(col("l_partkey").as("p_partkey")),
+        t(s, d, "lineitem").filter(col("l_quantity") > 45)
+          .select(col("l_partkey").as("p_partkey")),
         Seq("p_partkey"), "left_anti")
         .select("p_partkey", "p_name")),
     "r_semi_join" -> ((s, d) =>
@@ -122,6 +128,28 @@ object RelationalQueries {
           sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     }),
+
+    // C1+A2-family: multi-way join (dim ⋈ fact ⋈ fact) + aggregation —
+    // the join-reorder / broadcast-planning shape of the candidate path
+    "r_multi_join" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
+
+    // D5-family: conditional aggregation (the mixture/NIL-gate shape)
+    "r_conditional_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0))
+          .cast("decimal(18,2)")).cast("double").as("qty_highdisc"),
+        count(when(col("l_tax") > 0.04, lit(1))).as("n_hightax"),
+        round(avg(col("l_extendedprice").cast("decimal(18,4)")), 4)
+          .cast("double").as("avg_price"))),
 
     // A5-family: explode + dictionary count over JSON-ish props
     "r_props_key_counts" -> ((s, d) =>
@@ -166,7 +194,7 @@ object RelationalQueries {
          WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.06 AND l_returnflag = 'R'""",
     "r_anti_join" ->
       """SELECT p_partkey, p_name FROM part
-         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)""",
     "r_semi_join" ->
       """SELECT c_custkey FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
@@ -182,5 +210,17 @@ object RelationalQueries {
          FROM lineitem""",
     "r_props_key_counts" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
-         FROM events GROUP BY 1""")
+         FROM events GROUP BY 1""",
+    "r_multi_join" ->
+      """SELECT c_nationkey, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey""",
+    "r_conditional_agg" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty_highdisc,
+                count(CASE WHEN l_tax > 0.04 THEN 1 END) AS n_hightax,
+                CAST(round(avg(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_price
+         FROM lineitem GROUP BY l_returnflag""")
 }

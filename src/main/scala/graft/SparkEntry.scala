@@ -25,15 +25,42 @@ object SparkEntry {
   }
 
   // Lazily built shared model per (session, size) so each query entry
-  // doesn't rebuild the corpus model from scratch.
+  // doesn't rebuild the corpus model from scratch. The expensive derived
+  // stages (gated spots, the scored candidate dataflow) are cached too —
+  // six queries consume `scored`, and recomputing its join DAG per query
+  // would dominate Verify/Bench wall-clock.
   @volatile private var cachedModel: Option[(SparkSession, graft.pipeline.Model)] = None
+  @volatile private var cachedGated: Option[DataFrame] = None
+  @volatile private var cachedScored: Option[DataFrame] = None
   private[graft] def model(spark: SparkSession): graft.pipeline.Model = synchronized {
     cachedModel match {
       case Some((s, m)) if s eq spark => m
       case _ =>
         val m = Annotate.syntheticModel(spark, nDocs = 120)
         cachedModel = Some((spark, m))
+        cachedGated = None
+        cachedScored = None
         m
+    }
+  }
+
+  private[graft] def gated(spark: SparkSession): DataFrame = synchronized {
+    val m = model(spark)
+    cachedGated.getOrElse {
+      val bc = spark.sparkContext.broadcast(graft.spot.Spotter.buildAutomaton(m.surfaceForms))
+      val g = graft.spot.Spotter.gatedSpots(
+        graft.spot.Spotter.spots(m.paragraphs, bc), m.surfaceForms).cache()
+      cachedGated = Some(g)
+      g
+    }
+  }
+
+  private[graft] def scored(spark: SparkSession): DataFrame = synchronized {
+    val m = model(spark)
+    cachedScored.getOrElse {
+      val s = Annotate.scoredFromGated(spark, m, gated(spark)).cache()
+      cachedScored = Some(s)
+      s
     }
   }
 

@@ -100,6 +100,25 @@ object Disambiguator {
       .drop("_rk")
   }
 
+  // ---- C4: morphological retry variants ------------------------------------
+
+  /** Second-chance lookup variants of an unmatched surface form: without
+   *  leading "the "/"a ", without trailing "'s"/"s"/"'" (reference:
+   *  lucene/disambiguate/MergedOccurrencesDisambiguator.java:75-105).
+   *  Used as `explode(sfVariants(sf))` for a retry join on sf. */
+  def sfVariants(sf: String): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    val lower = sf.toLowerCase
+    if (lower.startsWith("the ") && sf.length > 4) out += sf.substring(4)
+    if (lower.startsWith("a ") && sf.length > 2) out += sf.substring(2)
+    if (sf.endsWith("'s") && sf.length > 2) out += sf.dropRight(2)
+    else if (sf.endsWith("'") && sf.length > 1) out += sf.dropRight(1)
+    else if (sf.endsWith("s") && sf.length > 1) out += sf.dropRight(1)
+    out.toSeq
+  }
+
+  val sfVariantsUdf = udf((sf: String) => sfVariants(sf))
+
   // ---- D3: generative context similarity ----------------------------------
 
   /** Numerically stable log(e^a + e^b) as breeze.numerics.logSum
@@ -232,6 +251,80 @@ object Disambiguator {
       .filter(col("_rk") === 1).drop("_rk")
       .join(broadcast(res.select("res_id", "uri", "support", "types")), Seq("res_id"))
       .select("url", "para_idx", "offset", "sf", "uri", "support", "types")
+
+  // ---- D4/D7: TF*ICF context similarity --------------------------------
+
+  /**
+   * TF*ICF scores (reference: db/similarity/TFICFSimilarity.scala:25-97):
+   * per paragraph, over its candidate-resource set —
+   *   tf(token, res)  = count of token in res's context (the posting list)
+   *   icf(token)      = log(nCand / nCandWithToken) + 1, where both counts
+   *                     are scoped to the PARAGRAPH's candidate set
+   *   score(res)      = Σ_query-tokens q_cnt · tf · icf / |context(res)|
+   * The reference computes icf per query against Lucene bitsets; here it
+   * is a window count over (url, para_idx, token_id) — one shuffle, no
+   * per-candidate index probes. D7's InvCandFreqSimilarity (isf scoped to
+   * the surface form's candidate set) is [[icfScoped]] with
+   * `scope = sf-id keys` instead of the paragraph keys.
+   */
+  def tficfScores(candRes: DataFrame, // distinct (url, para_idx, res_id)
+                  docTokens: DataFrame,
+                  contexts: Dataset[EntityContextRow]): DataFrame = {
+    val nCand = candRes.groupBy("url", "para_idx")
+      .agg(countDistinct("res_id").as("n_cand"))
+    val joined = candRes
+      .join(docTokens, Seq("url", "para_idx"))
+      .join(contexts.toDF().withColumnRenamed("count", "tf"), Seq("res_id", "token_id"))
+    val withIcf = joined
+      .withColumn("n_cand_with_token",
+        size(collect_set("res_id").over(
+          Window.partitionBy("url", "para_idx", "token_id"))))
+      .join(broadcast(nCand), Seq("url", "para_idx"))
+      .withColumn("icf",
+        log(col("n_cand").cast("double") / col("n_cand_with_token")) + lit(1.0))
+    val resTotals = contexts.groupBy("res_id").agg(sum("count").as("ctx_len"))
+    withIcf
+      .groupBy("url", "para_idx", "res_id")
+      .agg(sum(col("q_cnt") * col("tf") * col("icf")).as("raw"))
+      .join(broadcast(resTotals), Seq("res_id"))
+      .withColumn("tficf_score", col("raw") / col("ctx_len"))
+      .select("url", "para_idx", "res_id", "tficf_score")
+  }
+
+  /** D7 isf = log(maxSf/senseFreq)+1 scoped to an arbitrary key set
+   *  (lucene/similarity/InvCandFreqSimilarity.java:30-114). */
+  def icfScoped(tokenHits: DataFrame, scopeKeys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy((scopeKeys :+ "token_id").map(col): _*)
+    val wAll = Window.partitionBy(scopeKeys.map(col): _*)
+    tokenHits
+      .withColumn("sense_freq", size(collect_set("res_id").over(w)))
+      .withColumn("n_senses", size(collect_set("res_id").over(wAll)))
+      .withColumn("isf", log(col("n_senses").cast("double") / col("sense_freq")) + lit(1.0))
+  }
+
+  // ---- R11/R12: explain & tag extraction --------------------------------
+
+  /** R11: top-N context words per resource (debug/explain path,
+   *  MergedOccurrencesContextSearcher.getContextWords:327-360). */
+  def topContextWords(contexts: Dataset[EntityContextRow],
+                      tokens: Dataset[TokenTypeRow], n: Int = 10): DataFrame =
+    contexts.toDF()
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("res_id").orderBy(col("count").desc, col("token_id"))))
+      .filter(col("_rk") <= n)
+      .join(broadcast(tokens.select("token_id", "token")), Seq("token_id"))
+      .select(col("res_id"), col("token"), col("count"), col("_rk").as("rank"))
+
+  /** R12: tag extraction — top-k entities per document by best similarity
+   *  (the `/related` + ExtractTags path re-expressed: same scored
+   *  dataflow, ranked per url instead of per spot). */
+  def topTagsPerDoc(scoredDf: DataFrame, k: Int = 10): DataFrame =
+    scoredDf
+      .groupBy("url", "uri")
+      .agg(max("similarity").as("best_sim"), count(lit(1)).as("n_spots"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("url").orderBy(col("best_sim").desc, col("uri"))))
+      .filter(col("rank") <= k)
 
   /** D10: seeded random pick (RandomDisambiguator) for test harnesses. */
   def randomPick(spotCands: DataFrame, res: Dataset[ResourceRow], seed: Long): DataFrame =

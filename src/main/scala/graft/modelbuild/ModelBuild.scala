@@ -26,6 +26,41 @@ object ModelBuild {
 
   val sfNormalizeUdf = udf((sf: String) => TextUtil.sfNormalize(sf))
 
+  /**
+   * Deterministic dense 1-based IDs by global order of `orderCol`,
+   * WITHOUT a single-partition global window (which would funnel the
+   * whole dictionary through one task at 100 TB): range-partition by the
+   * key, rank within each sorted partition, then add cumulative partition
+   * offsets (a tiny broadcast — one row per partition). IDs depend only
+   * on the global key order, not on where range boundaries fall, so any
+   * parallelism yields identical IDs (SURVEY.md §7.4(6)). Keys must be
+   * distinct (callers pass post-groupBy dimension tables).
+   */
+  def denseIds(df: DataFrame, orderCol: String, idName: String): DataFrame = {
+    val n = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val withRn = df
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_pid").orderBy(orderCol)).cast("long"))
+      .persist() // pin partition boundaries: offsets below must see the same layout
+    val offsets = withRn.groupBy("_pid").agg(max("_rn").as("_cnt"))
+      .withColumn("_off", coalesce(
+        sum("_cnt").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    val out = withRn.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(idName, (col("_off") + col("_rn")).cast("int"))
+      .drop("_pid", "_rn", "_off")
+      // materialize + truncate lineage so the pinned intermediate can be
+      // freed immediately (otherwise each denseIds call leaks one cached
+      // copy of the dimension table for the session's lifetime)
+      .localCheckpoint(true)
+    withRn.unpersist()
+    out
+  }
+
   /** Two-phase salted aggregation: pre-aggregate on (keys, salt) then
    *  final on keys. Breaks reducer hot keys ("USA") into `buckets`
    *  sub-keys; deterministic salt from a caller-provided column. */
@@ -114,8 +149,7 @@ object ModelBuild {
         .withColumn("total_count", coalesce(col("total_count"), lit(-1L)))
       case None => annotated.withColumn("total_count", lit(-1L))
     }
-    withTotals
-      .withColumn("sf_id", row_number().over(Window.orderBy("sf")).cast("int"))
+    denseIds(withTotals, "sf", "sf_id")
       .withColumn("sf_normalized", sfNormalizeUdf(col("sf")))
       .select("sf_id", "sf", "sf_normalized", "annotated_count", "total_count")
       .as[SurfaceFormRow]
@@ -132,10 +166,11 @@ object ModelBuild {
     val types = instanceTypes
       .groupBy(col("subj").as("uri"))
       .agg(sort_array(collect_set(col("obj"))).as("types"))
-    support
-      .join(broadcast(types), Seq("uri"), "left")
-      .withColumn("types", coalesce(col("types"), array().cast("array<string>")))
-      .withColumn("res_id", row_number().over(Window.orderBy("uri")).cast("int"))
+    denseIds(
+      support
+        .join(broadcast(types), Seq("uri"), "left")
+        .withColumn("types", coalesce(col("types"), array().cast("array<string>"))),
+      "uri", "res_id")
       .select("res_id", "uri", "support", "types")
       .as[ResourceRow]
   }
@@ -169,9 +204,10 @@ object ModelBuild {
     val sfTokens = sfs
       .flatMap(r => TextUtil.contentTokens(r.sf))
       .toDF("token")
-    textTokens.union(sfTokens)
-      .groupBy("token").agg(count(lit(1)).as("count"))
-      .withColumn("token_id", row_number().over(Window.orderBy("token")).cast("int"))
+    denseIds(
+      textTokens.union(sfTokens)
+        .groupBy("token").agg(count(lit(1)).as("count")),
+      "token", "token_id")
       .select("token_id", "token", "count")
       .as[TokenTypeRow]
   }
@@ -226,6 +262,55 @@ object ModelBuild {
       .as[EntityContextRow]
   }
 
+  // ---- A7: ngram total-count correction ----------------------------------
+
+  /**
+   * Longest-annotation assumption (reference: MemoryStoreIndexer.scala:
+   * 69-109): when a surface form is a contiguous sub-ngram of a longer
+   * annotated surface form, the longer form's annotated occurrences were
+   * also counted as raw-string matches of the sub-ngram; subtract them
+   * from the sub-ngram's total_count so its annotationProbability is not
+   * deflated. total_count is clamped at annotated_count (a form seen
+   * annotated k times was seen at least k times). Self-join via an
+   * exploded sub-ngram table — distributed, no driver loop.
+   */
+  def ngramTotalCorrection(sfs: Dataset[SurfaceFormRow]): Dataset[SurfaceFormRow] = {
+    val spark = sfs.sparkSession
+    import spark.implicits._
+    val subNgrams = sfs.flatMap { r =>
+      val toks = r.sf.split(" ")
+      if (toks.length <= 1) Iterator.empty
+      else (for {
+        len <- (1 until toks.length).iterator
+        start <- (0 to toks.length - len).iterator
+      } yield (toks.slice(start, start + len).mkString(" "), r.annotated_count)).iterator
+    }.toDF("sf", "containing_annotated")
+    val corrections = subNgrams.groupBy("sf")
+      .agg(sum("containing_annotated").as("_corr"))
+    sfs.toDF()
+      .join(corrections, Seq("sf"), "left")
+      .withColumn("total_count",
+        when(col("total_count") > 0L,
+          greatest(col("total_count") - coalesce(col("_corr"), lit(0L)),
+            col("annotated_count")))
+          .otherwise(col("total_count")))
+      .drop("_corr")
+      .select("sf_id", "sf", "sf_normalized", "annotated_count", "total_count")
+      .as[SurfaceFormRow]
+  }
+
+  // ---- R6: deterministic train/test split ---------------------------------
+
+  /** Occurrence dedup / corpus split (reference: index/.../lucene/index/
+   *  SplitTrainTest.scala, io/DatasetSplitter.java) — hash-based so the
+   *  assignment is stable across runs and parallelism, unlike randomSplit. */
+  def hashSplit(df: DataFrame, idCol: String, testFraction: Double,
+                buckets: Int = 1000): (DataFrame, DataFrame) = {
+    val b = pmod(xxhash64(col(idCol)), lit(buckets.toLong))
+    val cut = (testFraction * buckets).toLong
+    (df.filter(b >= cut), df.filter(b < cut))
+  }
+
   // ---- A9/A10: concept URIs and title surface forms ----------------------
 
   /** Concept URIs = all target URIs minus redirects and disambiguations,
@@ -236,6 +321,22 @@ object ModelBuild {
       .join(broadcast(disambigs.select(col("subj").as("uri"))), Seq("uri"), "left_anti")
       .filter(!col("uri").contains("/") && !col("uri").contains("%23") &&
         col("uri").rlike("[A-Za-z]"))
+
+  /** A10: surface forms derived from page titles / redirects / disambig
+   *  titles: wiki-decode the URI, strip the trailing parenthetical;
+   *  sanity rules length ≤ 50, has a letter, not percent-escape junk,
+   *  not a bare stopword (reference: ExtractCandidateMap.scala:172-243). */
+  def titleSurfaceForms(uris: DataFrame): DataFrame = {
+    val decodeUdf = udf((uri: String) =>
+      TextUtil.wikiDecode(uri).replaceAll(""" \(.+?\)$""", ""))
+    uris
+      .filter(!col("uri").rlike("%[0-9A-Fa-f]{2}")) // escape-sequence titles skipped
+      .select(col("uri"), decodeUdf(col("uri")).as("sf"))
+      .filter(length(col("sf")) <= 50 &&
+        col("sf").rlike("[A-Za-z]") &&
+        !lower(col("sf")).isin(TextUtil.SfStopWords.toSeq: _*))
+      .distinct()
+  }
 
   /** Model totals broadcast into scoring expressions (A6). */
   final case class Totals(

@@ -51,6 +51,9 @@ object Annotate {
         regexp_replace(col("obj"), "http://dbpedia.org/ontology/", "DBpedia:"),
         "http://schema.org/", "Schema:"))
 
+    // pages feeds both the text-extraction path and the link-occurrence
+    // path; cache so the (expensive) markup parse isn't run twice
+    pages.cache()
     val extracted = Extractor.extracted(pages)
     val paragraphs = Extractor.paragraphs(extracted).cache()
     val occurrences = Extractor.occurrences(pages).cache()
@@ -64,7 +67,14 @@ object Annotate {
       val fullDict = Spotter.buildAutomaton(sfsAnnotatedOnly, minAnnotationProbability = 0.0)
       val bc = spark.sparkContext.broadcast(fullDict)
       val tc = Spotter.totalCounts(paragraphs, bc)
-      ModelBuild.surfaceForms(occurrences, Some(tc))
+      // A7: longest-annotation correction — annotated occurrences of a
+      // longer sf also raw-matched its sub-ngrams; remove that inflation
+      // so annotationProbability isn't deflated for nested forms
+      // (reference: MemoryStoreIndexer.scala:69-109). The pre-correction
+      // table is cached: the correction self-joins it, and without the
+      // cache each side would re-run the whole totalCounts spotting chain.
+      val sfsWithTotals = ModelBuild.surfaceForms(occurrences, Some(tc)).cache()
+      ModelBuild.ngramTotalCorrection(sfsWithTotals)
     } else sfsAnnotatedOnly).cache()
 
     val resources = ModelBuild.resources(resolved, instanceTypes).cache()
@@ -83,23 +93,41 @@ object Annotate {
              cfg: Disambiguator.Config = Disambiguator.Config()): DataFrame = {
     val bc = spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms))
     val raw = Spotter.spots(m.paragraphs, bc)
-    val gated = Spotter.gatedSpots(raw, m.surfaceForms)
+    scoredFromGated(spark, m, Spotter.gatedSpots(raw, m.surfaceForms), cfg)
+  }
+
+  /** Same, from an already-computed (possibly cached) gated-spots table —
+   *  avoids rebuilding/broadcasting the automaton and re-running the
+   *  spot stage when the caller holds it. */
+  def scoredFromGated(spark: SparkSession, m: Model, gated: DataFrame,
+                      cfg: Disambiguator.Config = Disambiguator.Config()): DataFrame = {
     val spotCands = Disambiguator.spotCandidates(gated, m.surfaceForms, m.candidates, cfg)
     val docTokens = Disambiguator.docTokenHistogram(m.paragraphs, m.tokenTypes)
     Disambiguator.scored(spotCands, docTokens, m.entityContexts, m.resources, m.totals, cfg)
   }
 
-  /** Filtered best-per-spot annotations (server defaults). */
-  def annotations(spark: SparkSession, m: Model,
-                  conf: Double = 0.1, minSupport: Long = 10): Dataset[AnnotationRow] = {
+  /** Filtered best-per-spot annotations from an already-computed scored
+   *  DataFrame (callers holding a cached `scored` avoid re-running the
+   *  join DAG). */
+  def annotationsFrom(spark: SparkSession, scoredDf: DataFrame,
+                      conf: Double = 0.1, minSupport: Long = 10): Dataset[AnnotationRow] = {
     import spark.implicits._
-    val best = Disambiguator.best(scored(spark, m)).as[AnnotationRow]
+    val best = Disambiguator.best(scoredDf).as[AnnotationRow]
     AnnotationFilters.standardChain(best, conf, minSupport)
   }
+
+  /** Filtered best-per-spot annotations (server defaults). */
+  def annotations(spark: SparkSession, m: Model,
+                  conf: Double = 0.1, minSupport: Long = 10): Dataset[AnnotationRow] =
+    annotationsFrom(spark, scored(spark, m), conf, minSupport)
 
   /** Full output graph. */
   def triples(spark: SparkSession, m: Model): Dataset[TripleRow] =
     Triples.all(annotations(spark, m), m.resources, m.closure)
+
+  /** Full output graph from a cached scored DataFrame. */
+  def triplesFrom(spark: SparkSession, m: Model, scoredDf: DataFrame): Dataset[TripleRow] =
+    Triples.all(annotationsFrom(spark, scoredDf), m.resources, m.closure)
 
   /** Convenience: model over the synthetic corpus at a given size. */
   def syntheticModel(spark: SparkSession, nDocs: Long, withTotalCounts: Boolean = true): Model =

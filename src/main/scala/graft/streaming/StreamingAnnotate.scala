@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.extract.WikiPageParser
+import graft.model.WebPage
+import graft.spot.AhoCorasick
+
+/**
+ * Structured-Streaming ingest path: the reference is batch-only (SURVEY.md
+ * §2.9), but a continuous crawl feed is the natural 100 TB deployment of
+ * this engine — the spotting stage is map-only (broadcast automaton), so
+ * it lifts onto `readStream` unchanged; model tables stay batch-built and
+ * are joined statically (stream-static joins need no watermark).
+ *
+ * Components:
+ *  - [[spotStream]]: streaming web_pages → spot rows (extract + A-C match
+ *    per micro-batch; same code path as batch Spotter);
+ *  - [[windowedSpotCounts]]: event-time windowed surface-form counts with
+ *    a watermark (late crawl records beyond the watermark are dropped);
+ *  - [[runningUrlStats]]: per-url running spot counts via
+ *    mapGroupsWithState (custom state, processing-time timeout).
+ */
+object StreamingAnnotate {
+
+  final case class StreamSpot(url: String, warc_ts: java.sql.Timestamp,
+                              para_idx: Int, offset: Int, sf: String)
+
+  /** Streaming Dataset[WebPage] → Dataset[StreamSpot]; map-only, so the
+   *  stream needs no shuffle before the sink/agg. */
+  def spotStream(pages: Dataset[WebPage], bc: Broadcast[AhoCorasick]): Dataset[StreamSpot] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      val ac = bc.value
+      it.flatMap { p =>
+        val paras = WikiPageParser.parsePage(new String(p.html, "UTF-8"))
+        paras.iterator.zipWithIndex.flatMap { case (para, i) =>
+          ac.findNonOverlapping(para.text).iterator.map { m =>
+            StreamSpot(p.url, p.warc_ts, i + 1, m.start,
+              para.text.substring(m.start, m.end))
+          }
+        }
+      }
+    }
+  }
+
+  /** Event-time windowed counts per surface form with watermarking. */
+  def windowedSpotCounts(spots: Dataset[StreamSpot],
+                         window_ : String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    spots.toDF()
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), window_), col("sf"))
+      .agg(count(lit(1)).as("n_spots"))
+
+  final case class UrlStats(url: String, n_spots: Long, n_batches: Long)
+
+  /** Custom streaming state: per-url cumulative spot counts
+   *  (KeyValueGroupedDataset.mapGroupsWithState). */
+  def runningUrlStats(spots: Dataset[StreamSpot]): Dataset[UrlStats] = {
+    val spark = spots.sparkSession
+    import spark.implicits._
+    spots.groupByKey(_.url)
+      .mapGroupsWithState[UrlStats, UrlStats](GroupStateTimeout.NoTimeout()) {
+        (url, it, state: GroupState[UrlStats]) =>
+          val prev = state.getOption.getOrElse(UrlStats(url, 0L, 0L))
+          val next = UrlStats(url, prev.n_spots + it.size, prev.n_batches + 1)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Wire a spot stream to an in-memory sink (tests / smoke checks). */
+  def startMemorySink(df: DataFrame, queryName: String,
+                      outputMode: OutputMode = OutputMode.Update()) =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+}

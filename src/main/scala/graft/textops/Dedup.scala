@@ -37,11 +37,51 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** k MinHash values per document: min over shingles of
-   *  xxhash64(shingle, seed_i) — all column expressions, codegen'd. */
+  /**
+   * k MinHash values per document in ONE pass: FNV-1a base hash per word
+   * shingle, then k splitmix64-style permutations, tracking mins.
+   * A coarse per-document UDF: the equivalent column-expression tree
+   * recomputes the shingle array k times and blows up codegen
+   * (measured ~25s for 500 docs at k=32 vs <1s here); this stage is
+   * map-only either way, so the UDF costs no shuffle or pushdown.
+   */
+  private def minhashUdf(k: Int, shingleSize: Int) = udf { (text: String) =>
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (text != null) {
+      val toks = text.toLowerCase.trim.split("\\s+")
+      val nSh = math.max(toks.length - shingleSize + 1, 1)
+      val seen = new java.util.HashSet[Long]()
+      var i = 0
+      while (i < nSh) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        val end = math.min(i + shingleSize, toks.length)
+        while (j < end) {
+          val t = toks(j)
+          var c = 0
+          while (c < t.length) { h = (h ^ t.charAt(c)) * 0x100000001b3L; c += 1 }
+          h = (h ^ ' ') * 0x100000001b3L
+          j += 1
+        }
+        if (seen.add(h)) { // distinct shingles only (set semantics)
+          var s = 0
+          while (s < k) {
+            var x = h + 0x9e3779b97f4a7c15L * (s + 1)
+            x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+            x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+            x ^= (x >>> 31)
+            if (x < sig(s)) sig(s) = x
+            s += 1
+          }
+        }
+        i += 1
+      }
+    }
+    sig
+  }
+
   def minhashSignature(text: Column, k: Int = 32, shingleSize: Int = 3): Column =
-    transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(shingles(text, shingleSize), s => xxhash64(s, seed))))
+    minhashUdf(k, shingleSize)(text)
 
   /** LSH candidate pairs from banded minhash signatures:
    *  b bands × r rows (k = b·r); docs sharing any band bucket pair up.

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.textops.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Value-level checks for the training-data operators whose hashes the
+  * DuckDB oracle can't reproduce (custom minhash/simhash/LSH). */
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+      (4L, "completely different content about spark clusters and shuffle behavior"),
+      (5L, "spark clusters and shuffle behavior explained in completely different words"),
+      (6L, "unrelated text regarding cooking recipes with garlic butter and thyme")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under min id") {
+    val out = Dedup.exact(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L && out(2L) === 1L)
+    assert(out(3L) === 3L && out(4L) === 4L)
+  }
+
+  test("minhash LSH finds the near-dup pair; jaccard verifies") {
+    val pairs = Dedup.minhashCandidatePairs(docs, bands = 16, rows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    val verified = Dedup.nearDuplicates(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((1L, 2L)))
+    assert(!verified.exists { case (a, b) => b == 6L || a == 6L }) // unrelated never verifies
+  }
+
+  test("jaccard of identical docs is 1.0, disjoint docs 0.0") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 6L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccard(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 6L)) < 0.05)
+  }
+
+  test("simhash: identical docs distance 0, near dups close, unrelated far") {
+    val pairs = Dedup.simhashCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
+    assert(pairs((1L, 2L)) === 0L)
+    assert(pairs.get((1L, 3L)).forall(_ <= 12L))
+  }
+
+  test("brute-force ANN: self-similar vectors rank first") {
+    import spark.implicits._
+    // 20 deterministic vectors; vec i and i+10 are near-identical
+    val vecs = (0 until 20).map { i =>
+      val base = i % 10
+      val v = (0 until 8).map(d => math.sin(base * 31 + d * 7).toFloat +
+        (if (i >= 10) 0.001f * d else 0f))
+      (i.toLong, v.map(_.toDouble).toArray)
+    }.toDF("id", "vec")
+    val top1 = Similarity.bruteForceTopK(vecs, vecs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 10).foreach { i => assert(top1(i.toLong) === (i + 10).toLong) }
+  }
+
+  test("LSH ANN recall@1 matches brute force on clustered vectors") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      val base = i % 10
+      val v = (0 until 16).map(d => math.sin(base * 31 + d * 7) +
+        (if (i >= 10) 0.001 * d else 0.0))
+      (i.toLong, v.toArray)
+    }.toDF("id", "vec")
+    val bf = Similarity.bruteForceTopK(vecs, vecs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTopK(vecs, vecs, k = 1, nBits = 8, dims = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = bf.keys.count(k => lsh.get(k).contains(bf(k)))
+    assert(hits.toDouble / bf.size >= 0.8) // multi-probe recall on clear clusters
+  }
+
+  test("text stats: counts, ratios, quality and lang-id on known strings") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "The cat sat on the mat and the dog ran to the park."),
+      (2L, "der hund ist von der die das und mit den ein nicht haus"),
+      (3L, "!!! ??? ... ;;; :::")).toDF("doc_id", "text")
+    val rows = TextStats.documentStats(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Int]("n_tokens") === 13)
+    assert(rows(1L).getAs[String]("lang_pred") === "en")
+    assert(rows(2L).getAs[String]("lang_pred") === "de")
+    assert(rows(3L).getAs[Double]("punct_ratio") > 0.5)
+    assert(rows(1L).getAs[Double]("quality_score") >
+      rows(3L).getAs[Double]("quality_score"))
+    // fingerprint: deterministic and text-sensitive
+    val f1 = rows(1L).getAs[Long]("fingerprint")
+    val again = TextStats.documentStats(d).collect()
+      .find(_.getLong(0) == 1L).get.getAs[Long]("fingerprint")
+    assert(f1 === again)
+    assert(f1 !== rows(2L).getAs[Long]("fingerprint"))
+  }
+
+  test("multimodal plumbing: features deterministic, frames only from video") {
+    import spark.implicits._
+    val ids = (0L until 12L).toDF("vec_id")
+    val media = Multimodal.syntheticMedia(spark, ids, "vec_id")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 12)
+    assert(feats.forall(_.features.length === 16))
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.sha).toMap
+    assert(feats.forall(f => again(f.media_id) == f.sha))
+    val frames = Multimodal.sampleFrames(media).select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val videoIds = media.filter(_.media_type == "video").collect().map(_.media_id).toSet
+    assert(frames.subsetOf(videoIds) && frames.nonEmpty)
+  }
+}
