@@ -33,7 +33,11 @@ object Disambiguator {
   final case class Config(
       maxCandidates: Int = 20,
       lambda: Double = 0.2,
-      k: Int = 20)
+      k: Int = 20,
+      // C4: retry unmatched surface forms through morphological variants
+      // (off by default — the DB path relies on T4 normalization instead,
+      // DBCandidateSearcher.scala:25-44)
+      morphologicalRetry: Boolean = false)
 
   val sfNormalizeUdf = udf((sf: String) => TextUtil.sfNormalize(sf))
 
@@ -88,9 +92,26 @@ object Disambiguator {
       .withColumn("sf_id", coalesce(col("sf_id"), col("n_sf_id")))
       .withColumn("annotated_count", coalesce(col("annotated_count"), col("n_annotated_count")))
       .drop("_sf_norm", "sf_normalized", "n_sf_id", "n_annotated_count")
-      .filter(col("sf_id").isNotNull)
 
-    withFallback
+    val matched = withFallback.filter(col("sf_id").isNotNull)
+    val resolved =
+      if (!cfg.morphologicalRetry) matched
+      else {
+        // C4 second-chance join: explode the variants of still-unmatched
+        // spots, take the first variant that hits the sf store
+        // (MergedOccurrencesDisambiguator.java:75-105)
+        val retried = withFallback.filter(col("sf_id").isNull)
+          .drop("sf_id", "annotated_count")
+          .withColumn("_var", explode(sfVariantsUdf(col("sf"))))
+          .join(broadcast(sfDim.withColumnRenamed("sf", "_var")), Seq("_var"))
+          .withColumn("_vrk", row_number().over(
+            Window.partitionBy("url", "para_idx", "offset").orderBy("_var")))
+          .filter(col("_vrk") === 1)
+          .drop("_vrk", "_var")
+        matched.unionByName(retried)
+      }
+
+    resolved
       .join(cands.toDF(), Seq("sf_id"))
       .withColumn("cand_prior", col("cooc_count").cast("double") / col("annotated_count"))
       .withColumn("_rk", row_number().over(
@@ -209,7 +230,7 @@ object Disambiguator {
       .join(nilCtx, Seq("url", "para_idx"), "left")
       .withColumn("nil_ctx_score", coalesce(col("nil_ctx_score"), lit(0.0)))
       .withColumn("nil_score", nilEntityScore)
-      .withColumn("similarity", pSgE + col("ctx_score") + pE)
+      .withColumn("similarity", Mixtures.unweighted(pSgE, col("ctx_score"), pE))
       .filter(!isnan(col("similarity")) && col("similarity") > col("nil_score"))
 
     val w = Window.partitionBy("url", "para_idx", "offset")
