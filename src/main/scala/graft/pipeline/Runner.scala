@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.extract.Extractor
+import graft.modelbuild.ModelBuild
+import graft.sources.NTriples
+import graft.spot.Spotter
+import graft.triples.Triples
+
+/**
+ * The checkpointed end-to-end DAG (SURVEY.md §3.2 restatement): each
+ * stage materializes to `<root>/<stage>/` parquet with a commit marker +
+ * per-partition lineage counters via [[Pipeline.stage]]; a re-run skips
+ * every committed stage and recomputes only downstream of the first
+ * missing commit — the north rule's idempotent resume. Stage outputs are
+ * deterministic (stable IDs, seeded corpus, pure extract), so a resumed
+ * run is row-identical to an uninterrupted one (`RunnerSpec`).
+ *
+ * Stage graph:
+ *   web_pages ─┬─> paragraphs ──────────────┬─> token_types
+ *              └─> occurrences ─ closure ──> resolved ─> {surface_forms,
+ *                  resources, candidates, entity_contexts} ─> scored
+ *                  ─> annotations ─> triples (partitioned by pred)
+ */
+object Runner {
+
+  final case class Result(model: Model, triples: DataFrame, root: String)
+
+  def run(spark: SparkSession,
+          pages: org.apache.spark.sql.Dataset[WebPage],
+          redirectsNt: Seq[String],
+          disambiguationsNt: Seq[String],
+          instanceTypesNt: Seq[String],
+          root: String): Result = {
+    import spark.implicits._
+    val ns = "http://dbpedia.org/resource/"
+    def st(name: String)(f: => DataFrame): DataFrame =
+      Pipeline.stage(spark, s"$root/$name")(f)
+
+    val redirects = NTriples.stripNamespace(NTriples.fromStrings(spark, redirectsNt), ns)
+    val disambigs = NTriples.stripNamespace(NTriples.fromStrings(spark, disambiguationsNt), ns)
+    val instanceTypes = NTriples.stripNamespace(NTriples.fromStrings(spark, instanceTypesNt), ns)
+      .withColumn("obj", regexp_replace(
+        regexp_replace(col("obj"), "http://dbpedia.org/ontology/", "DBpedia:"),
+        "http://schema.org/", "Schema:"))
+
+    val paragraphs = st("paragraphs") {
+      Extractor.paragraphs(Extractor.extracted(pages)).toDF()
+    }.as[ParagraphRow].cache()
+
+    val occurrences = st("occurrences") {
+      Extractor.occurrences(pages).toDF()
+    }.as[OccurrenceRow].cache()
+
+    val closure = st("redirect_closure") {
+      ModelBuild.redirectClosure(redirects)
+    }.cache()
+
+    val resolved = st("resolved_occurrences") {
+      ModelBuild.resolvedOccurrences(occurrences, closure, disambigs)
+    }.cache()
+
+    val surfaceForms = st("surface_forms") {
+      val firstPass = ModelBuild.surfaceForms(occurrences, None)
+      val bc = spark.sparkContext.broadcast(
+        Spotter.buildAutomaton(firstPass, minAnnotationProbability = 0.0))
+      val withTotals = ModelBuild.surfaceForms(
+        occurrences, Some(Spotter.totalCounts(paragraphs, bc))).cache()
+      ModelBuild.ngramTotalCorrection(withTotals).toDF()
+    }.as[SurfaceFormRow].cache()
+
+    val resources = st("resources") {
+      ModelBuild.resources(resolved, instanceTypes).toDF()
+    }.as[ResourceRow].cache()
+
+    val candidates = st("candidates") {
+      ModelBuild.candidates(resolved, surfaceForms, resources).toDF()
+    }.as[CandidateRow].cache()
+
+    val tokenTypes = st("token_types") {
+      ModelBuild.tokenTypes(paragraphs, surfaceForms).toDF()
+    }.as[TokenTypeRow].cache()
+
+    val entityContexts = st("entity_contexts") {
+      ModelBuild.entityContexts(resolved, resources, tokenTypes).toDF()
+    }.as[EntityContextRow].cache()
+
+    val totals = ModelBuild.totals(surfaceForms, resources, tokenTypes)
+    val model = Model(paragraphs, occurrences, closure, surfaceForms,
+      resources, candidates, tokenTypes, entityContexts, totals)
+
+    val annotations = st("annotations") {
+      Annotate.annotations(spark, model).toDF()
+    }.as[AnnotationRow]
+
+    val triples = st("triples") {
+      Triples.all(annotations, resources, closure).toDF()
+    }
+
+    Result(model, triples, root)
+  }
+
+  /** Final graph sink: triples partitioned by predicate (Iceberg-style
+   *  dir layout), with a counters JSON next to the commit marker. */
+  def writeTriples(triples: DataFrame, dir: String): Unit = {
+    triples.write.mode("overwrite").partitionBy("pred").parquet(dir)
+    val counts = triples.groupBy("pred").count().collect()
+      .map(r => s""""${r.getString(0)}": ${r.getLong(1)}""").mkString(",")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_counters.json"), s"{$counts}")
+  }
+}
