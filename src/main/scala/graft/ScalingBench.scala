@@ -40,9 +40,15 @@ object ScalingBench {
     try {
       val t0 = System.nanoTime()
       val m = Annotate.syntheticModel(spark, nDocs)
-      val ann = Annotate.annotations(spark, m).cache()
+      // one scored DAG, shared by annotations and triples — calling the
+      // model-taking overloads here would rebuild the automaton (a new
+      // broadcast closure, so not cache-equal) and run the whole
+      // spot+score stage twice inside the timed window
+      val scored = Annotate.scored(spark, m).cache()
+      val ann = Annotate.annotationsFrom(spark, scored).cache()
       val nAnn = ann.count()
-      val nTriples = Annotate.triples(spark, m).count()
+      val nTriples = graft.triples.Triples
+        .all(ann, m.resources, m.closure).count()
       val secs = (System.nanoTime() - t0) / 1e9
       val c = Counters(
         m.paragraphs.count(), m.occurrences.count(),

@@ -39,6 +39,9 @@ object Runner {
     def st(name: String)(f: => DataFrame): DataFrame =
       Pipeline.stage(spark, s"$root/$name")(f)
 
+    // pages feeds both the extraction and occurrence stages on a cold
+    // run; cache so the markup parse doesn't execute twice
+    pages.cache()
     val redirects = NTriples.stripNamespace(NTriples.fromStrings(spark, redirectsNt), ns)
     val disambigs = NTriples.stripNamespace(NTriples.fromStrings(spark, disambiguationsNt), ns)
     val instanceTypes = NTriples.stripNamespace(NTriples.fromStrings(spark, instanceTypesNt), ns)

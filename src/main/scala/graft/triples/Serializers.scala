@@ -39,14 +39,37 @@ object Serializers {
         concat(col("url"), lit("-p"), col("para_idx"), lit("o"), col("offset")),
         col("uri"), col("sf"), lit(""), col("offset").cast("string")).as("line"))
 
-  /** N-Triples lines for the output graph tables (subj/pred/obj wrapped
-   *  in the DBpedia namespaces). */
+  /** Predicate shorthands → absolute IRIs (N-Triples requires IRIs; a
+   *  bare `<mentions>` would be rejected by conformant RDF parsers). */
+  private val predIri: Map[String, String] = Map(
+    Triples.MentionsPred -> "http://purl.org/dc/terms/references",
+    Triples.TypePred -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    Triples.RedirectPred -> "http://dbpedia.org/ontology/wikiPageRedirects",
+    Triples.SameAsPred -> "http://www.w3.org/2002/07/owl#sameAs")
+
+  /** Type-ID prefixes → ontology namespaces (types are classes, not
+   *  resources — wrapping them in /resource/ would be wrong). */
+  private def iri(c: org.apache.spark.sql.Column,
+                  resourceNs: String): org.apache.spark.sql.Column =
+    when(c.startsWith("http"), c)
+      .when(c.startsWith("DBpedia:"),
+        concat(lit("http://dbpedia.org/ontology/"), regexp_replace(c, "^DBpedia:", "")))
+      .when(c.startsWith("Schema:"),
+        concat(lit("http://schema.org/"), regexp_replace(c, "^Schema:", "")))
+      .otherwise(concat(lit(resourceNs), c))
+
+  /** N-Triples lines for the output graph tables: predicates mapped to
+   *  absolute IRIs, subjects/objects wrapped in the DBpedia resource
+   *  namespace unless already IRIs or ontology-class IDs. */
   def toNTriples(triples: DataFrame,
-                 ns: String = "http://dbpedia.org/resource/"): DataFrame =
+                 ns: String = "http://dbpedia.org/resource/"): DataFrame = {
+    val predCol = predIri.foldLeft(col("pred")) { case (acc, (k, v)) =>
+      when(col("pred") === k, lit(v)).otherwise(acc)
+    }
     triples.select(concat(
-      lit("<"),
-      when(col("subj").startsWith("http"), col("subj")).otherwise(concat(lit(ns), col("subj"))),
-      lit("> <"), col("pred"), lit("> <"),
-      when(col("obj").startsWith("http"), col("obj")).otherwise(concat(lit(ns), col("obj"))),
+      lit("<"), iri(col("subj"), ns),
+      lit("> <"), when(predCol.startsWith("http"), predCol).otherwise(concat(lit(ns), predCol)),
+      lit("> <"), iri(col("obj"), ns),
       lit("> .")).as("line"))
+  }
 }

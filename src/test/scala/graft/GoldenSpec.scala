@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import scala.io.Source
 
@@ -9,7 +8,8 @@ import scala.io.Source
  * Golden regression: the annotate pipeline over the deterministic
  * 120-doc fixture must reproduce the committed outputs
  * (src/test/resources/golden/, regenerated only deliberately via
- * graft.GoldenGen). Decisions compared exactly; scores to 5 decimals.
+ * graft.GoldenGen). Rendering logic is shared with the generator
+ * (GoldenGen.top1Rows/tripleRows) so the two can never desynchronize.
  */
 class GoldenSpec extends AnyFunSuite {
 
@@ -22,13 +22,7 @@ class GoldenSpec extends AnyFunSuite {
   }
 
   test("top1 annotations match golden (decisions exact, scores to 5dp)") {
-    val live = disambig.Disambiguator.best(SparkEntry.scored(spark))
-      .select(col("url"), col("para_idx"), col("offset"), col("sf"), col("uri"),
-        format_number(col("similarity_score"), 5).as("sim5"))
-      .orderBy("url", "para_idx", "offset")
-      .collect()
-      .map(r => s"${r.getString(0)}\t${r.getInt(1)}\t${r.getInt(2)}\t${r.getString(3)}\t${r.getString(4)}\t${r.getString(5)}")
-      .toList
+    val live = GoldenGen.top1Rows(spark).toList
     val gold = golden("top1.tsv")
     assert(live.size === gold.size)
     val mismatches = live.zip(gold).zipWithIndex.collect {
@@ -38,14 +32,6 @@ class GoldenSpec extends AnyFunSuite {
   }
 
   test("triple multiset matches golden") {
-    val live = pipeline.Annotate
-      .triplesFrom(spark, SparkEntry.model(spark), SparkEntry.scored(spark))
-      .toDF()
-      .groupBy("subj", "pred", "obj").agg(count(lit(1)).as("n"))
-      .orderBy("subj", "pred", "obj")
-      .collect()
-      .map(r => s"${r.getString(0)}\t${r.getString(1)}\t${r.getString(2)}\t${r.getLong(3)}")
-      .toList
-    assert(live === golden("triples.tsv"))
+    assert(GoldenGen.tripleRows(spark).toList === golden("triples.tsv"))
   }
 }

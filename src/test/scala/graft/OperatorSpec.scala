@@ -85,10 +85,20 @@ class OperatorSpec extends AnyFunSuite {
     val json = Serializers.toSpotlightJson(ann).head().getAs[String]("json")
     assert(json.contains("\"@URI\":\"United_States\""))
     assert(json.contains("\"@support\":100"))
-    val trip = Seq(("u1", "mentions", "United_States", "u1", 0.9))
+    val trip = Seq(
+      ("u1", "mentions", "United_States", "u1", 0.9),
+      ("United_States", "rdf:type", "DBpedia:Country", "", 1.0))
       .toDF("subj", "pred", "obj", "src_url", "score")
-    val nt = Serializers.toNTriples(trip).head().getString(0)
-    assert(nt.startsWith("<") && nt.endsWith("> ."))
-    assert(nt.contains("<mentions>"))
+    val nts = Serializers.toNTriples(trip).collect().map(_.getString(0))
+    nts.foreach { nt =>
+      assert(nt.startsWith("<") && nt.endsWith("> ."))
+      // every term is an absolute IRI (N-Triples conformance)
+      val terms = "<([^>]+)>".r.findAllMatchIn(nt).map(_.group(1)).toSeq
+      assert(terms.length === 3)
+      terms.foreach(t => assert(t.startsWith("http"), s"non-IRI term $t in $nt"))
+    }
+    assert(nts.exists(_.contains("<http://purl.org/dc/terms/references>")))
+    assert(nts.exists(_.contains("<http://dbpedia.org/ontology/Country>")))
+    assert(nts.exists(_.contains("rdf-syntax-ns#type")))
   }
 }
