@@ -27,7 +27,10 @@ object PipelineQueries {
     "p_occurrences" -> ((s, _) => m(s).occurrences.toDF().drop("para_text")),
     "p_redirect_closure" -> ((s, _) => m(s).closure),
     "p_surface_forms" -> ((s, _) => m(s).surfaceForms.toDF()),
-    "p_resources" -> ((s, _) => m(s).resources.toDF()),
+    "p_resources" -> ((s, _) =>
+      // types stringified: ARRAY<STRING> crashes the driver's pandas sort
+      // (round-1 harness TypeError) — concat_ws keeps the information
+      m(s).resources.toDF().withColumn("types", concat_ws(",", col("types")))),
     "p_candidates" -> ((s, _) => m(s).candidates.toDF()),
     "p_token_types" -> ((s, _) => m(s).tokenTypes.toDF()),
     "p_entity_contexts" -> ((s, _) => m(s).entityContexts.toDF()),
