@@ -155,7 +155,33 @@ object RelationalQueries {
     "r_props_key_counts" -> ((s, d) =>
       t(s, d, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .groupBy("k").agg(count(lit(1)).as("n"))))
+        .groupBy("k").agg(count(lit(1)).as("n"))),
+
+    // D3-family: scalar-math term per row + exact aggregation (the
+    // log-likelihood sum shape; sqrt is IEEE-correctly-rounded on both
+    // engines so the per-term DECIMAL cast makes the sum order-free)
+    "r_sqrt_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        sum(sqrt(col("l_quantity")).cast("decimal(28,10)"))
+          .cast("double").as("sum_sqrt_qty"),
+        count(lit(1)).as("n"))),
+
+    // F6/R4-family: earliest-row-per-group propagation via first_value —
+    // the coreference "copy from the earliest occurrence" window shape
+    "r_first_value" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .withColumn("first_order", first(col("o_orderkey")).over(w))
+        .select("o_custkey", "o_orderkey", "first_order")
+    }),
+
+    // R6-family: deterministic key-based split (portable modular
+    // arithmetic standing in for the hash split, which is engine-local)
+    "r_mod_split" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(5)))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))))
 
   def oracleSql: Map[String, String] = Map(
     "r_agg_counts" ->
@@ -217,6 +243,19 @@ object RelationalQueries {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                        JOIN customer ON o_custkey = c_custkey
          GROUP BY c_nationkey""",
+    "r_sqrt_agg" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(sqrt(l_quantity) AS DECIMAL(28,10))) AS DOUBLE) AS sum_sqrt_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "r_first_value" ->
+      """SELECT o_custkey, o_orderkey,
+                first_value(o_orderkey) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order
+         FROM orders""",
+    "r_mod_split" ->
+      """SELECT o_orderkey % 5 AS bucket, count(*) AS n
+         FROM orders GROUP BY 1""",
     "r_conditional_agg" ->
       """SELECT l_returnflag,
                 CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty_highdisc,

@@ -35,7 +35,13 @@ object TextOpsQueries {
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"))),
 
-    "t_doc_stats" -> ((s, d) => TextStats.documentStats(docs(s, d))),
+    // lang_pred/fingerprint are UDF-computed and carried by their own
+    // queries (t_lang_id, t_fingerprint); dropping them here leaves the
+    // column-algebra stats fully ANSI-expressible for the DuckDB oracle
+    "t_doc_stats" -> ((s, d) =>
+      TextStats.documentStats(docs(s, d)).drop("fingerprint", "lang_pred")
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("n_chars", col("n_chars").cast("long"))),
 
     "t_lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -56,6 +62,24 @@ object TextOpsQueries {
 
     "t_simhash_pairs" -> ((s, d) =>
       Dedup.simhashCandidatePairs(docs(s, d)).filter(col("hamming") <= 16)),
+
+    // exact n-gram Jaccard over a bounded id range — the verification
+    // arithmetic of the near-dup path, oracle-checkable end to end
+    // (the LSH candidate generation itself uses xxhash64, rows-only)
+    "t_jaccard_pairs" -> ((s, d) => {
+      val sub = docs(s, d).filter(col("doc_id") < 40).select(col("doc_id"))
+      val pairs = sub.select(col("doc_id").as("doc_a"))
+        .crossJoin(sub.select(col("doc_id").as("doc_b")))
+        .filter(col("doc_a") < col("doc_b"))
+      Dedup.ngramJaccard(pairs, docs(s, d))
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
+    // A5-family over documents: global token frequency dictionary
+    "t_token_hist" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
 
     "t_embedding_near_dups" -> ((s, d) =>
       // synthetic embeddings are near-orthogonal; 0.25 exercises the
@@ -94,7 +118,70 @@ object TextOpsQueries {
       Multimodal.sampleFrames(media).select("media_id", "frame_idx")
     }))
 
+  // English stopword list duplicated into SQL (TextUtil.StopWords)
+  private val stopListSql: String = graft.util.TextUtil.StopWords.toSeq.sorted
+    .map(w => s"'$w'").mkString("[", ",", "]")
+
   def oracleSql: Map[String, String] = Map(
+    "t_doc_stats" ->
+      s"""WITH base AS (
+           SELECT doc_id, text,
+                  regexp_split_to_array(trim(text), '\\s+') AS toks,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+                  length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')) AS n_punct
+           FROM documents),
+         stats AS (
+           SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+                  n_punct::DOUBLE / greatest(length(text), 1) AS punct_raw,
+                  len(list_filter(ltoks, t -> list_contains($stopListSql, t)))::DOUBLE
+                    / greatest(len(ltoks), 1) AS stop_raw,
+                  len(list_distinct(ltoks))::DOUBLE / greatest(len(toks), 1) AS distinct_raw
+           FROM base)
+         SELECT doc_id, n_tokens, n_chars,
+                round(punct_raw, 6) AS punct_ratio,
+                round(stop_raw, 6) AS stopword_fraction,
+                round(distinct_raw, 6) AS distinct_word_ratio,
+                round(least(n_tokens / 50.0, 1.0) * 0.4
+                      + (1.0 - least(punct_raw * 5, 1.0)) * 0.3
+                      + distinct_raw * 0.3, 6) AS quality_score
+         FROM stats""",
+    "t_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+                           (regexp_split_to_array(lower(text), '\s+'))[1:512] AS toks
+                    FROM documents),
+         p(lang, words) AS (VALUES
+           ('de', ['der','die','das','und','ist','von','mit','den','ein','nicht']),
+           ('en', ['the','and','of','to','in','is','that','it','for','with']),
+           ('es', ['el','la','los','y','es','de','que','en','un','por']),
+           ('fr', ['le','la','les','et','est','des','une','dans','que','pour']),
+           ('it', ['il','la','che','e','di','un','per','con','del','sono'])),
+         s AS (SELECT doc_id, lang,
+                      len(list_filter(toks, x -> list_contains(words, x)))::DOUBLE
+                        / greatest(len(toks), 1) AS score
+               FROM t CROSS JOIN p),
+         best AS (SELECT doc_id, lang, score,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+                  FROM s)
+         SELECT doc_id,
+                CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_pred,
+                round(CASE WHEN score = 0 THEN 0.0 ELSE score END, 6) AS lang_score
+         FROM best WHERE rn = 1""",
+    "t_jaccard_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                 FOR i IN range(0, greatest(len(toks)-3, 0)+1)]) AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                 FROM documents))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE a.doc_id < 40 AND b.doc_id < 40""",
+    "t_token_hist" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents) GROUP BY token""",
     "t_token_counts" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
                 length(text) AS n_chars

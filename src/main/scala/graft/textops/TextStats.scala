@@ -71,10 +71,11 @@ object TextStats {
     if (text == null || text.isEmpty) ("und", 0.0)
     else {
       val toks = text.toLowerCase.split("\\s+").take(512)
-      val scores = langProfiles.map { case (lang, words) =>
+      // deterministic tie-break (score desc, lang asc) — Map iteration
+      // order would otherwise make ties build-dependent and un-oracle-able
+      val (best, score) = langProfiles.toSeq.map { case (lang, words) =>
         lang -> toks.count(words.contains).toDouble / math.max(toks.length, 1)
-      }
-      val (best, score) = scores.maxBy(_._2)
+      }.sortBy { case (lang, sc) => (-sc, lang) }.head
       if (score == 0.0) ("und", 0.0) else (best, score)
     }
   }
