@@ -65,6 +65,10 @@ object Pipeline {
       .saveAsTable(table)
   }
 
+  /** Catalog-safe table name for a run root's bucketed model table. */
+  def bucketedTableName(root: String, stage: String): String =
+    ("graft_" + root.replaceAll("[^A-Za-z0-9]", "_") + "_" + stage).toLowerCase
+
   /** Remove a stage's commit marker (used by the resume test to simulate
    *  a mid-pipeline failure). */
   def invalidate(dir: String): Unit = {

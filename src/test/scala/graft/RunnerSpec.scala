@@ -47,6 +47,34 @@ class RunnerSpec extends AnyFunSuite {
     assert(sfMarkerAfter === sfMarkerBefore)
   }
 
+  test("runner model tables are bucketed; joins don't exchange the model side") {
+    val root = Files.createTempDirectory("graft_bkt").toString
+    val r = runAll(root)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force shuffle joins: at scale the model tables exceed broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val exchangeRe = "(?m)^\\s*[+:]?[- ]*Exchange hashpartitioning".r
+
+      val spots = Seq((1, "x"), (2, "y")).toDF("sf_id", "sf")
+      val j1 = r.model.candidates.toDF().join(spots, Seq("sf_id"))
+      val p1 = j1.queryExecution.executedPlan.toString
+      assert(p1.contains("Bucketed: true"), s"candidates scan not bucketed:\n$p1")
+      assert(exchangeRe.findAllIn(p1).length === 1,
+        s"expected 1 exchange (probe side only):\n$p1")
+
+      // context join keys (res_id, token_id) ⊃ bucket col res_id: the
+      // bucketed side must still feed the join shuffle-free
+      val probe = Seq((1, 2, 1L), (3, 4, 2L)).toDF("res_id", "token_id", "q")
+      val j2 = r.model.entityContexts.toDF().join(probe, Seq("res_id", "token_id"))
+      val p2 = j2.queryExecution.executedPlan.toString
+      assert(p2.contains("Bucketed: true"), s"entity_contexts scan not bucketed:\n$p2")
+      assert(exchangeRe.findAllIn(p2).length === 1,
+        s"expected 1 exchange (probe side only):\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned triple sink writes pred dirs + counters") {
     val root = Files.createTempDirectory("graft_sink").toString
     val r = runAll(root)
