@@ -20,6 +20,30 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.textops.Dedup")
+
+  /**
+   * Bound LSH bucket fan-out before a pair join: a degenerate bucket
+   * (empty docs, shared boilerplate) makes the within-bucket pair join
+   * quadratic inside ONE task at scale. Buckets larger than
+   * `maxBucketSize` are dropped from pair generation and their count is
+   * logged — no silent truncation (exact dedup upstream already
+   * collapses identical texts, so oversized buckets are
+   * boilerplate-dominated, not legitimate near-dup clusters).
+   */
+  private[textops] def boundBuckets(banded: DataFrame, keys: Seq[String],
+                                    maxBucketSize: Int, what: String): DataFrame = {
+    val sizes = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bsz")).cache()
+    val over = sizes.filter(col("_bsz") > maxBucketSize)
+      .agg(count(lit(1)).as("n"), coalesce(max("_bsz"), lit(0L)).as("mx")).head()
+    if (over.getLong(0) > 0)
+      log.warn(s"$what: dropped ${over.getLong(0)} oversized LSH buckets " +
+        s"(cap=$maxBucketSize, largest=${over.getLong(1)} rows)")
+    banded.join(sizes.filter(col("_bsz") <= maxBucketSize)
+      .select(keys.map(col): _*), keys, "left_semi")
+  }
+
   /** Exact duplicate groups: canonical doc = min(doc_id) per md5(text).
    *  Returns (doc_id, canonical_id, content_hash). */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -89,14 +113,16 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text",
                             bands: Int = 8, rows: Int = 4,
-                            shingleSize: Int = 3): DataFrame = {
+                            shingleSize: Int = 3,
+                            maxBucketSize: Int = 500): DataFrame = {
     val k = bands * rows
     val sig = docs.select(col(idCol).as("doc"),
       minhashSignature(col(textCol), k, shingleSize).as("sig"))
-    val banded = sig.select(col("doc"),
+    val banded0 = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = boundBuckets(banded0, Seq("band", "bucket"), maxBucketSize, "minhash")
     val l = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
     l.join(r, Seq("band", "bucket"))
@@ -124,8 +150,9 @@ object Dedup {
    *  canonical = min doc id per connected pair (single-hop union — full
    *  connected components would iterate, not needed for dedup policy). */
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.8,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cand = minhashCandidatePairs(docs, idCol, textCol)
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxBucketSize: Int = 500): DataFrame = {
+    val cand = minhashCandidatePairs(docs, idCol, textCol, maxBucketSize = maxBucketSize)
     ngramJaccard(cand, docs, idCol, textCol).filter(col("jaccard") >= threshold)
   }
 
@@ -158,12 +185,14 @@ object Dedup {
   /** SimHash near-dup candidates: bucket by each of four 16-bit chunks —
    *  any pair within hamming distance 3 shares at least one chunk. */
   def simhashCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
+                            textCol: String = "text",
+                            maxBucketSize: Int = 500): DataFrame = {
     val sig = docs.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
-    val chunked = sig.select(col("doc"), col("sig"),
+    val chunked0 = sig.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "bucket")
+    val chunked = boundBuckets(chunked0, Seq("chunk", "bucket"), maxBucketSize, "simhash")
     val l = chunked.select(col("chunk"), col("bucket"), col("doc").as("doc_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("bucket"), col("doc").as("doc_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "bucket"))

@@ -70,9 +70,12 @@ object Similarity {
    * is Σ bucket² instead of |Q|·|C|.
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nBits: Int = 12, dims: Int = 64, multiProbe: Boolean = true): DataFrame = {
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
-      lshKey(col("vec"), nBits, dims).as("bucket"))
+              nBits: Int = 12, dims: Int = 64, multiProbe: Boolean = true,
+              maxBucketSize: Int = 10000): DataFrame = {
+    val c = Dedup.boundBuckets(
+      corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
+        lshKey(col("vec"), nBits, dims).as("bucket")),
+      Seq("bucket"), maxBucketSize, "ann-lsh corpus")
     val qBase = queries.select(col("id").as("query_id"), col("vec").as("q_vec"),
       lshKey(col("vec"), nBits, dims).as("key0"))
     val q =
@@ -95,8 +98,11 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold, using the
    *  LSH buckets to avoid the quadratic join. */
   def cosineNearDuplicates(vecs: DataFrame, threshold: Double = 0.95,
-                           nBits: Int = 10, dims: Int = 64): DataFrame = {
-    val b = vecs.select(col("id"), col("vec"), lshKey(col("vec"), nBits, dims).as("bucket"))
+                           nBits: Int = 10, dims: Int = 64,
+                           maxBucketSize: Int = 2000): DataFrame = {
+    val b = Dedup.boundBuckets(
+      vecs.select(col("id"), col("vec"), lshKey(col("vec"), nBits, dims).as("bucket")),
+      Seq("bucket"), maxBucketSize, "cosine-near-dup")
     val l = b.select(col("bucket"), col("id").as("doc_a"), col("vec").as("vec_a"))
     val r = b.select(col("bucket"), col("id").as("doc_b"), col("vec").as("vec_b"))
     l.join(r, Seq("bucket"))

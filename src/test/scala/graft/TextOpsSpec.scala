@@ -56,6 +56,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.get((1L, 3L)).forall(_ <= 12L))
   }
 
+  test("LSH bucket cap drops degenerate buckets but keeps real near-dups") {
+    import spark.implicits._
+    // skew fixture: 1000 identical boilerplate docs would make every
+    // band bucket quadratic (10^6 pairs in one task); genuine near-dup
+    // pairs ride in distinct small buckets and must survive the cap
+    val boiler = (0 until 1000).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"))
+    val real = (0 until 3).flatMap { j =>
+      val base = s"unique document nr$j with many distinct words alpha$j beta$j " +
+        s"gamma$j delta$j epsilon$j zeta$j eta$j theta$j iota$j kappa$j"
+      Seq((2000L + 2 * j, base), (2001L + 2 * j, base + " trailing"))
+    }
+    val skewed = (boiler ++ real).toDF("doc_id", "text")
+
+    val mh = Dedup.minhashCandidatePairs(skewed, maxBucketSize = 100)
+    assert(mh.filter(col("doc_a") < 1000L && col("doc_b") < 1000L).count() === 0,
+      "degenerate boilerplate bucket was not dropped")
+    val foundPairs = mh.filter(col("doc_a") >= 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 3).foreach { j =>
+      assert(foundPairs.contains((2000L + 2 * j, 2001L + 2 * j)),
+        s"near-dup pair $j lost to the bucket cap")
+    }
+
+    val sh = Dedup.simhashCandidatePairs(skewed, maxBucketSize = 100)
+    assert(sh.filter(col("doc_a") < 1000L && col("doc_b") < 1000L).count() === 0)
+  }
+
   test("brute-force ANN: self-similar vectors rank first") {
     import spark.implicits._
     // 20 deterministic vectors; vec i and i+10 are near-identical
