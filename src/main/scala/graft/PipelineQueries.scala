@@ -84,6 +84,50 @@ object PipelineQueries {
         .unionByName(test.withColumn("split", lit("test")))
         .groupBy("split").agg(count(lit(1)).as("n"))
     }),
+    "p_weighted_spots" -> ((s, _) => {
+      // P4 weighted gate: feature dot product at threshold 0.5
+      val mm = m(s)
+      val bc = s.sparkContext.broadcast(graft.spot.Spotter.buildAutomaton(mm.surfaceForms))
+      graft.spot.Spotter.weightedGatedSpots(
+        graft.spot.Spotter.spots(mm.paragraphs, bc), mm.surfaceForms,
+        weights = Seq(1.0, 0.2, -0.2, 0.1))
+    }),
+    "p_stemmed_tokens" -> ((s, _) =>
+      // T3: the token dictionary under the Porter stemmer path
+      graft.modelbuild.ModelBuild.tokenTypes(
+        m(s).paragraphs, m(s).surfaceForms, graft.util.PorterStemmer.stem).toDF()),
+    "p_sim_thresholds" -> ((s, _) => {
+      // F1 training: similarity-score quantiles of gold-correct annotations
+      val mm = m(s)
+      val disambigs = NTriples.stripNamespace(
+        NTriples.fromStrings(s, SyntheticCorpus.disambiguationsNt),
+        "http://dbpedia.org/resource/")
+      val gold = graft.modelbuild.ModelBuild.resolvedOccurrences(
+        mm.occurrences.filter(col("provenance") === "Wikipedia"), mm.closure, disambigs)
+      val ts = AnnotationFilters.trainSimThresholds(
+        Disambiguator.best(SparkEntry.scored(s)), gold, nQuantiles = 11)
+      import s.implicits._
+      ts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("quantile_idx", "threshold")
+    }),
+    "p_conll_gold" -> ((s, _) =>
+      // AIDA/CoNLL corpus reader over the bundled fixture
+      graft.eval.Corpora.fromConllLines(s, graft.eval.CorpusFixtures.conllLines)._1),
+    "p_csaw_gold" -> ((s, _) => {
+      // CSAW corpus reader over the bundled fixture
+      import s.implicits._
+      val texts = graft.eval.CorpusFixtures.csawDocs.toDF("url", "para_text")
+      graft.eval.Corpora.fromCsawXml(s, texts, graft.eval.CorpusFixtures.csawXml)._1
+    }),
+    "p_xml_out" -> ((s, _) =>
+      // S16 XML serializer over the pipeline's own annotations
+      graft.triples.Serializers.toSpotlightXml(
+        Annotate.annotationsFrom(s, SparkEntry.scored(s)).toDF(),
+        m(s).paragraphs.toDF())),
+    "p_nif_out" -> ((s, _) =>
+      // S16 NIF serializer (N-Triples lines)
+      graft.triples.Serializers.toNif(
+        Annotate.annotationsFrom(s, SparkEntry.scored(s)).toDF(),
+        m(s).paragraphs.toDF())),
     "p_eval_gate" -> ((s, _) => {
       // single-row P/R + accuracy summary — the ≥0.95 gate, queryable
       val mm = m(s)

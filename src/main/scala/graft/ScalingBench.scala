@@ -10,7 +10,8 @@ import graft.pipeline.Annotate
  * annotate+triples job on the SAME input at two local parallelism
  * levels. Each level gets a fresh SparkSession (masters local[N] /
  * local[4N], shuffle partitions scaled with cores); ≥2 warm runs each,
- * median reported; per-stage counters prove identical outputs.
+ * best-of reported; per-stage counters prove identical outputs across
+ * every run at both levels.
  *
  * Protocol details (BASELINE.md): N=2, 4N=8 cores by default (the box
  * has 32 hardware threads, so both levels run un-oversubscribed and the
@@ -79,6 +80,11 @@ object ScalingBench {
         println(f"""{"level":"local[$cpus]","run":$r,"sec":$secs%.2f,"docs":$nDocs,"docs_per_sec":${nDocs / secs}%.1f,"triples":${c.triples}}""")
         (secs, c)
       }
+      // Counters must be identical in EVERY run at this level, not just
+      // the first — a nondeterministic pipeline would invalidate the
+      // throughput comparison outright.
+      require(results.map(_._2).distinct.size == 1,
+        s"non-deterministic counters across runs at local[$cpus]: ${results.map(_._2)}")
       (results.map(_._1).min, results.head._2)
     }
 

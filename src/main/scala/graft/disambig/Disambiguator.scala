@@ -47,11 +47,12 @@ object Disambiguator {
    *  dictionary-encoded content tokens, with the token's corpus count
    *  carried along for the language-model smoothing term. */
   def docTokenHistogram(paragraphs: Dataset[ParagraphRow],
-                        tokens: Dataset[TokenTypeRow]): DataFrame = {
+                        tokens: Dataset[TokenTypeRow],
+                        stem: TextUtil.Stemmer = TextUtil.IdentityStemmer): DataFrame = {
     val spark = paragraphs.sparkSession
     import spark.implicits._
     paragraphs
-      .flatMap(p => TextUtil.contentTokens(p.para_text).map(t => (p.url, p.para_idx, t)))
+      .flatMap(p => TextUtil.contentTokens(p.para_text, stem).map(t => (p.url, p.para_idx, t)))
       .toDF("url", "para_idx", "token")
       .groupBy("url", "para_idx", "token")
       .agg(count(lit(1)).as("q_cnt"))
@@ -98,16 +99,20 @@ object Disambiguator {
       if (!cfg.morphologicalRetry) matched
       else {
         // C4 second-chance join: explode the variants of still-unmatched
-        // spots, take the first variant that hits the sf store
-        // (MergedOccurrencesDisambiguator.java:75-105)
+        // spots, take the first variant IN PRIORITY ORDER (the- strip,
+        // a- strip, 's, s — the order sfVariants emits and the reference
+        // tries them, MergedOccurrencesDisambiguator.java:75-105) that
+        // hits the sf store. posexplode carries that priority index; an
+        // alphabetical tiebreak would pick a different variant whenever
+        // several hit.
         val retried = withFallback.filter(col("sf_id").isNull)
           .drop("sf_id", "annotated_count")
-          .withColumn("_var", explode(sfVariantsUdf(col("sf"))))
+          .select(col("*"), posexplode(sfVariantsUdf(col("sf"))).as(Seq("_vpos", "_var")))
           .join(broadcast(sfDim.withColumnRenamed("sf", "_var")), Seq("_var"))
           .withColumn("_vrk", row_number().over(
-            Window.partitionBy("url", "para_idx", "offset").orderBy("_var")))
+            Window.partitionBy("url", "para_idx", "offset").orderBy("_vpos")))
           .filter(col("_vrk") === 1)
-          .drop("_vrk", "_var")
+          .drop("_vrk", "_var", "_vpos")
         matched.unionByName(retried)
       }
 
@@ -346,6 +351,24 @@ object Disambiguator {
       .withColumn("rank", row_number().over(
         Window.partitionBy("url").orderBy(col("best_sim").desc, col("uri"))))
       .filter(col("rank") <= k)
+
+  /** D10 CustomScoresDisambiguator (core/.../disambiguate/
+   *  CustomScoresDisambiguator.java:44-123): rank each spot's candidates
+   *  by a user-supplied per-URI score table (its loaded priors map);
+   *  URIs absent from the table score 0.0. The score table is a
+   *  URI-keyed dimension — joined plainly so AQE picks broadcast vs
+   *  shuffle by its actual size. */
+  def customScores(spotCands: DataFrame, res: Dataset[ResourceRow],
+                   uriScores: DataFrame, k: Int = 1): DataFrame =
+    spotCands
+      .join(broadcast(res.select("res_id", "uri", "support", "types")), Seq("res_id"))
+      .join(uriScores.select(col("uri"), col("score")), Seq("uri"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("url", "para_idx", "offset")
+          .orderBy(col("score").desc, col("res_id"))))
+      .filter(col("rank") <= k)
+      .select("url", "para_idx", "offset", "sf", "uri", "score", "rank", "support", "types")
 
   /** D10: seeded random pick (RandomDisambiguator) for test harnesses. */
   def randomPick(spotCands: DataFrame, res: Dataset[ResourceRow], seed: Long): DataFrame =

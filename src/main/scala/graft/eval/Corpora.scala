@@ -1,6 +1,7 @@
 package graft.eval
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.extract.WikiPageParser
 
 /**
@@ -42,4 +43,119 @@ object Corpora {
   def fromHeldoutLines(spark: SparkSession, lines: Seq[String]): (DataFrame, DataFrame) =
     fromMarkupParagraphs(spark,
       lines.zipWithIndex.map { case (l, i) => (s"heldout:$i", Seq(l)) })
+
+  // ---- AIDA / CoNLL-YAGO ---------------------------------------------------
+
+  /** The AIDA corpus NIL marker (eval/.../corpus/AidaCorpus.scala:78). */
+  val ConllNilUri = "--NME--"
+
+  private val ConllDocMarker = """^-DOCSTART- \((\d+)(.+)\)""".r
+  private val ConllTokenLine = """^(\S+)\t(\S+)\t(.+)\t(\S+)\t(\S+)$""".r
+
+  private final case class ConllDoc(url: String, text: String,
+                                    gold: Seq[(String, String, Int)])
+
+  /** Parse one CoNLL/AIDA-format document stream: `-DOCSTART- (id label)`
+   *  markers, token lines `token \t bioTag \t surfaceForm \t uri \t type`,
+   *  bare lines as plain tokens. Detokenization and BIO offset arithmetic
+   *  follow the reference exactly (AidaCorpus.scala:23-72): the gold
+   *  offset is the reconstructed-text length when the B token arrives,
+   *  and the tokens `'s : , ! .` re-attach to the previous token by
+   *  deleting the separating space. */
+  private def parseConllDocs(lines: Iterator[String]): Iterator[ConllDoc] = {
+    var docId = ""; var docLabel = ""
+    var toks = Vector.empty[(String, String, String, String)] // token, bio, sf, uri
+    def finish(): Option[ConllDoc] = {
+      if (docId.isEmpty) return None
+      val sb = new StringBuilder
+      val gold = Vector.newBuilder[(String, String, Int)]
+      toks.foreach { case (token, bio, sf, uri) =>
+        if (bio == "B") gold += ((uri, sf, sb.length))
+        if (Set("'s", ":", ",", "!", ".").contains(token) && sb.nonEmpty)
+          sb.deleteCharAt(sb.length - 1)
+        sb.append(token).append(' '): Unit
+      }
+      Some(ConllDoc(s"${docId}_$docLabel", sb.toString.trim, gold.result()))
+    }
+    val out = Vector.newBuilder[ConllDoc]
+    lines.foreach {
+      case ConllDocMarker(id, label) =>
+        finish().foreach(out += _)
+        docId = id; docLabel = label.trim.replaceAll(" ", "_"); toks = Vector.empty
+      case ConllTokenLine(token, bio, sf, uri, _) =>
+        toks :+= ((token, bio, sf, uri))
+      case line =>
+        toks :+= ((line.trim, "", "", ""))
+    }
+    finish().foreach(out += _)
+    out.result().iterator
+  }
+
+  /** AIDA/CoNLL corpus from in-memory lines (fixtures). Returns
+   *  (gold, text) in the pipeline's shape; NIL mentions keep uri
+   *  [[ConllNilUri]] — filter them for linking metrics, keep them for
+   *  spotting metrics. One paragraph per document (the corpus has no
+   *  paragraph structure). */
+  def fromConllLines(spark: SparkSession, lines: Seq[String]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val docs = parseConllDocs(lines.iterator).toSeq
+    val gold = docs.flatMap(d => d.gold.map { case (uri, sf, off) => (d.url, 1, uri, sf, off) })
+      .toDF("url", "para_idx", "uri", "sf", "offset")
+    val text = docs.map(d => (d.url, 1, d.text)).toDF("url", "para_idx", "para_text")
+    (gold, text)
+  }
+
+  /** AIDA/CoNLL corpus from files. Document boundaries span lines, so
+   *  parsing is per-file (wholeTextFiles) — eval corpora are
+   *  dimension-sized (single-digit MBs per file), and many files still
+   *  parse in parallel. */
+  def fromConllFiles(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val docs = spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) => parseConllDocs(content.linesIterator) }
+    val gold = docs.flatMap(d => d.gold.map { case (uri, sf, off) => (d.url, 1, uri, sf, off) })
+      .toDF("url", "para_idx", "uri", "sf", "offset")
+    val text = docs.map(d => (d.url, 1, d.text)).toDF("url", "para_idx", "para_text")
+    (gold, text)
+  }
+
+  // ---- CSAW ----------------------------------------------------------------
+
+  /** CSAW corpus (eval/.../corpus/CSAWCorpus.scala:14-51): raw document
+   *  texts plus a flat annotation XML of (docName, wikiName, offset,
+   *  length) records. The surface form is recovered relationally —
+   *  `substring(text, offset+1, length)` after joining annotations to
+   *  texts — instead of the reference's per-record in-memory substring. */
+  def fromCsawXml(spark: SparkSession, texts: DataFrame,
+                  annotationsXml: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val xml = scala.xml.XML.loadString(annotationsXml)
+    val anns = (xml \ "annotation").flatMap { a =>
+      val wikiName = (a \ "wikiName").text
+      if (wikiName.isEmpty) None // unlinkable mentions carry no gold uri
+      else Some(((a \ "docName").text, wikiName,
+        (a \ "offset").text.trim.toInt, (a \ "length").text.trim.toInt))
+    }
+    val annDf = anns.toDF("url", "uri", "offset", "len")
+    val gold = annDf
+      .join(texts.select(col("url"), col("para_text")), Seq("url"))
+      .select(col("url"), lit(1).as("para_idx"), col("uri"),
+        expr("substring(para_text, offset + 1, len)").as("sf"), col("offset"))
+    (gold, texts.select(col("url"), lit(1).as("para_idx"), col("para_text")))
+  }
+
+  /** CSAW corpus from its on-disk layout: `crawledDocs/` +
+   *  `CSAW_Annotations.xml` (CSAWCorpus.fromDirectory:43-51, including
+   *  its excluded housekeeping files). */
+  def fromCsawDirectory(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val excluded = Set("CZdata1", "docPaths.txt", "13Oct08_allUrls.txt.txt")
+    val texts = spark.sparkContext.wholeTextFiles(s"$dir/crawledDocs/*")
+      .map { case (path, content) => (path.split('/').last, content) }
+      .filter { case (name, _) => !name.startsWith(".") && !excluded.contains(name) }
+      .toDF("url", "para_text")
+    val xml = String.join("\n",
+      spark.read.textFile(s"$dir/CSAW_Annotations.xml").collectAsList())
+    fromCsawXml(spark, texts, xml)
+  }
 }

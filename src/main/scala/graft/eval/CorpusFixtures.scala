@@ -1,0 +1,70 @@
+package graft.eval
+
+/**
+ * Deterministic in-repo sample corpora in the reference's gold formats,
+ * mirroring how the reference bundles AnnotateDatasetFixture for its own
+ * tests (eval/.../AidaCorpus.scala:93-99 documents the line format the
+ * AIDA fixture follows). Used by the driver-visible corpus-reader
+ * queries and the reader round-trip specs.
+ */
+object CorpusFixtures {
+
+  /** AIDA/CoNLL-format lines: two documents, BIO-tagged mentions, one
+   *  NIL (`--NME--`), and punctuation tokens exercising the reference's
+   *  detokenization re-attachment. */
+  val conllLines: Seq[String] = Seq(
+    "-DOCSTART- (1 EU rejects)",
+    "EU\tB\tEU\tEuropean_Union\tORGANIZATION",
+    "rejects",
+    "German\tB\tGerman\tGermany\tMISC",
+    "call",
+    "to",
+    "boycott",
+    "British\tB\tBritish\tUnited_Kingdom\tMISC",
+    "lamb",
+    ".",
+    "-DOCSTART- (2 Rare Hendrix)",
+    "Rare",
+    "Hendrix\tB\tHendrix\t--NME--\tPERSON",
+    "song",
+    "'s",
+    "value",
+    ",",
+    "said",
+    "Peter\tB\tPeter Hobbs\tPeter_Hobbs\tPERSON",
+    "Hobbs\tI\tPeter Hobbs\tPeter_Hobbs\tPERSON",
+    ".")
+
+  /** CSAW-format annotation XML + matching raw document texts. */
+  val csawDocs: Seq[(String, String)] = Seq(
+    ("doc_alpha.txt", "The European Union met in Brussels today."),
+    ("doc_beta.txt", "Jimi Hendrix played in London."))
+
+  val csawXml: String =
+    """<annotations>
+      |  <annotation>
+      |    <docName>doc_alpha.txt</docName>
+      |    <wikiName>European_Union</wikiName>
+      |    <offset>4</offset>
+      |    <length>14</length>
+      |  </annotation>
+      |  <annotation>
+      |    <docName>doc_alpha.txt</docName>
+      |    <wikiName>Brussels</wikiName>
+      |    <offset>26</offset>
+      |    <length>8</length>
+      |  </annotation>
+      |  <annotation>
+      |    <docName>doc_beta.txt</docName>
+      |    <wikiName>Jimi_Hendrix</wikiName>
+      |    <offset>0</offset>
+      |    <length>12</length>
+      |  </annotation>
+      |  <annotation>
+      |    <docName>doc_beta.txt</docName>
+      |    <wikiName></wikiName>
+      |    <offset>23</offset>
+      |    <length>6</length>
+      |  </annotation>
+      |</annotations>""".stripMargin
+}

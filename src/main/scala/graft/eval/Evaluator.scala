@@ -20,17 +20,25 @@ object Evaluator {
     }
   }
 
+  /** One-pass contingency table: a single full-outer join + conditional
+   *  aggregates instead of three separate semi/anti count jobs — at scale
+   *  that is one shuffle of each side rather than three. */
+  private def contingency(gold: DataFrame, predicted: DataFrame,
+                          keys: Seq[String]): SpottingMetrics = {
+    val g = gold.select(keys.map(col): _*).distinct().withColumn("_g", lit(1))
+    val p = predicted.select(keys.map(col): _*).distinct().withColumn("_p", lit(1))
+    val row = g.join(p, keys, "full_outer").agg(
+      sum(when(col("_g").isNotNull && col("_p").isNotNull, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("_g").isNull, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("_p").isNull, 1L).otherwise(0L)).as("fn")).head()
+    def l(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    SpottingMetrics(l(0), l(1), l(2))
+  }
+
   /** Spot-level set equality on (url, para_idx, offset, sf) — the
    *  SurfaceFormOccurrence.equals key (model/SurfaceFormOccurrence.scala:36-52). */
-  def spotting(gold: DataFrame, predicted: DataFrame): SpottingMetrics = {
-    val keys = Seq("url", "para_idx", "offset", "sf")
-    val g = gold.select(keys.map(col): _*).distinct()
-    val p = predicted.select(keys.map(col): _*).distinct()
-    val tp = g.join(p, keys, "left_semi").count()
-    val fp = p.join(g, keys, "left_anti").count()
-    val fn = g.join(p, keys, "left_anti").count()
-    SpottingMetrics(tp, fp, fn)
-  }
+  def spotting(gold: DataFrame, predicted: DataFrame): SpottingMetrics =
+    contingency(gold, predicted, Seq("url", "para_idx", "offset", "sf"))
 
   final case class DisambigMetrics(total: Long, correct: Long, notFound: Long, mrr: Double) {
     def accuracy: Double = if (total == 0) 0.0 else correct.toDouble / total
@@ -60,13 +68,6 @@ object Evaluator {
   }
 
   /** End-to-end annotation P/R: match on (url, para_idx, offset, uri). */
-  def annotation(gold: DataFrame, predicted: DataFrame): SpottingMetrics = {
-    val keys = Seq("url", "para_idx", "offset", "uri")
-    val g = gold.select(keys.map(col): _*).distinct()
-    val p = predicted.select(keys.map(col): _*).distinct()
-    val tp = g.join(p, keys, "left_semi").count()
-    val fp = p.join(g, keys, "left_anti").count()
-    val fn = g.join(p, keys, "left_anti").count()
-    SpottingMetrics(tp, fp, fn)
-  }
+  def annotation(gold: DataFrame, predicted: DataFrame): SpottingMetrics =
+    contingency(gold, predicted, Seq("url", "para_idx", "offset", "uri"))
 }

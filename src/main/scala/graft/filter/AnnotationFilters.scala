@@ -22,6 +22,27 @@ object AnnotationFilters {
     df.filter(col("similarity_score") >= threshold)
   }
 
+  /** F1 training: derive `simThresholds` from a trained model as the
+   *  ascending similarity-score quantiles of gold-correct annotations.
+   *  The reference ships exactly this artifact — a ~101-entry ascending
+   *  list of training-similarity percentiles loaded as
+   *  `config.getSimilarityThresholds` (util/AnnotationFilter.scala:34-35)
+   *  — produced by its indexing-time evaluation; here it is one
+   *  distributed `percentile_approx` aggregate, no collect of scores.
+   *  `best` = rank-1 annotations carrying `similarity_score`;
+   *  `gold` = (url, para_idx, offset, uri). */
+  def trainSimThresholds(best: DataFrame, gold: DataFrame,
+                         nQuantiles: Int = 101): Seq[Double] = {
+    val keys = Seq("url", "para_idx", "offset")
+    val g = gold.select((keys.map(col) :+ col("uri").as("_gold_uri")): _*).distinct()
+    val correct = best.join(g, keys).filter(col("uri") === col("_gold_uri"))
+    val pcts = array((0 until nQuantiles).map(i =>
+      lit(i.toDouble / math.max(nQuantiles - 1, 1))): _*)
+    val row = correct.agg(
+      percentile_approx(col("similarity_score"), pcts, lit(10000))).head()
+    if (row.isNullAt(0)) Nil else row.getSeq[Double](0)
+  }
+
   /** F2 PercentageOfSecondFilter (ConfidenceFilter.scala:26-45):
    *  drop if pctSecond > 1 − confidence². */
   def percentageOfSecond(df: DataFrame, conf: Double): DataFrame =

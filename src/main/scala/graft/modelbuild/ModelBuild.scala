@@ -195,14 +195,15 @@ object ModelBuild {
   /** Global token counts over all paragraph text, plus +1 per token of
    *  each surface form (reference: TokenSource.scala:35-70). */
   def tokenTypes(paragraphs: Dataset[ParagraphRow],
-                 sfs: Dataset[SurfaceFormRow]): Dataset[TokenTypeRow] = {
+                 sfs: Dataset[SurfaceFormRow],
+                 stem: TextUtil.Stemmer = TextUtil.IdentityStemmer): Dataset[TokenTypeRow] = {
     val spark = paragraphs.sparkSession
     import spark.implicits._
     val textTokens = paragraphs
-      .flatMap(p => TextUtil.contentTokens(p.para_text))
+      .flatMap(p => TextUtil.contentTokens(p.para_text, stem))
       .toDF("token")
     val sfTokens = sfs
-      .flatMap(r => TextUtil.contentTokens(r.sf))
+      .flatMap(r => TextUtil.contentTokens(r.sf, stem))
       .toDF("token")
     denseIds(
       textTokens.union(sfTokens)
@@ -243,14 +244,15 @@ object ModelBuild {
   def entityContexts(resolvedOccs: DataFrame,
                      res: Dataset[ResourceRow],
                      tokens: Dataset[TokenTypeRow],
-                     maxContextWords: Int = 200): Dataset[EntityContextRow] = {
+                     maxContextWords: Int = 200,
+                     stem: TextUtil.Stemmer = TextUtil.IdentityStemmer): Dataset[EntityContextRow] = {
     val spark = resolvedOccs.sparkSession
     import spark.implicits._
     val tokenized = resolvedOccs
       .select(col("uri"), col("para_text"), col("offset"), col("weight"))
       .as[(String, String, Int, Int)]
       .flatMap { case (uri, text, offset, weight) =>
-        TextUtil.contentTokens(narrowContext(text, offset, maxContextWords))
+        TextUtil.contentTokens(narrowContext(text, offset, maxContextWords), stem)
           .map(t => (uri, t, weight.toLong))
       }
       .toDF("uri", "token", "w")

@@ -57,6 +57,11 @@ object Annotate {
     val extracted = Extractor.extracted(pages)
     val paragraphs = Extractor.paragraphs(extracted).cache()
     val occurrences = Extractor.occurrences(pages).cache()
+    // Materialize both parsed dependents, then drop the raw-HTML cache:
+    // repeated model builds in one long-lived session must not accumulate
+    // cached page bytes (they are never read again past this point).
+    paragraphs.count(); occurrences.count()
+    pages.unpersist()
 
     val closure = ModelBuild.redirectClosure(redirects).cache()
     val resolved = ModelBuild.resolvedOccurrences(occurrences, closure, disambigs).cache()
@@ -74,8 +79,14 @@ object Annotate {
       // table is cached: the correction self-joins it, and without the
       // cache each side would re-run the whole totalCounts spotting chain.
       val sfsWithTotals = ModelBuild.surfaceForms(occurrences, Some(tc)).cache()
-      ModelBuild.ngramTotalCorrection(sfsWithTotals)
-    } else sfsAnnotatedOnly).cache()
+      val corrected = ModelBuild.ngramTotalCorrection(sfsWithTotals).cache()
+      // materialize the corrected table, then drop the intermediate:
+      // repeated model builds in one long-lived session must not
+      // accumulate cached pre-correction sf tables
+      corrected.count()
+      sfsWithTotals.unpersist()
+      corrected
+    } else sfsAnnotatedOnly.cache())
 
     val resources = ModelBuild.resources(resolved, instanceTypes).cache()
     val candidates = ModelBuild.candidates(resolved, sfs, resources).cache()

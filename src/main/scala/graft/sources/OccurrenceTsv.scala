@@ -36,7 +36,13 @@ object OccurrenceTsv {
   }
 
   def write(df: DataFrame, path: String, gzip: Boolean = false): Unit = {
-    val w = df.select("id", "uri", "sf", "context", "offset")
+    // The reference's toTsvString collapses whitespace before writing
+    // (DBpediaResourceOccurrence.scala:91-93) — with quoting disabled, an
+    // embedded tab/newline in context would otherwise corrupt the TSV on
+    // roundtrip. `read` accordingly assumes single-line records.
+    val w = df
+      .withColumn("context", regexp_replace(col("context"), "\\s+", " "))
+      .select("id", "uri", "sf", "context", "offset")
       .write.mode("overwrite").option("sep", "\t").option("quote", "")
     (if (gzip) w.option("codec", "gzip") else w).csv(path)
   }

@@ -72,6 +72,36 @@ object Spotter {
       .filter(col("spot_prob") >= threshold)
       .select("url", "para_idx", "offset", "sf", "spot_prob")
 
+  /** P4 weighted spot score: feature vector · weights
+   *  (DBSpotter.spotFeatures, db/DBSpotter.scala:184-197) with features
+   *  (annotationProbability, all-caps abbreviation shorter than 5 chars,
+   *  pure number, bias 1.0). The weight vector ships with a trained model
+   *  as the single space-separated line of spotter_thresholds.txt
+   *  (db/SpotlightModel.scala:32,132). Pure column algebra — codegen'd,
+   *  no UDF. */
+  def weightedSpotScore(weights: Seq[Double]): org.apache.spark.sql.Column = {
+    require(weights.length == 4, s"spot feature weights must have 4 entries, got $weights")
+    val isNumber = col("sf").rlike("^[0-9]+$")
+    val isAbbrev = upper(col("sf")) === col("sf") && length(col("sf")) < 5 && !isNumber
+    lit(weights(0)) * annotationProbability(col("annotated_count"), col("total_count")) +
+      lit(weights(1)) * isAbbrev.cast("double") +
+      lit(weights(2)) * isNumber.cast("double") +
+      lit(weights(3))
+  }
+
+  /** P4 weighted gate: spot_prob = weighted feature score, threshold 0.5
+   *  (the reference's spotFeatureWeightVector branch,
+   *  DBSpotter.scala:98-104, 112-117). [[gatedSpots]] is the no-weights
+   *  branch (annotationProbability ≥ 0.25). */
+  def weightedGatedSpots(rawSpots: Dataset[SpotRow], sfs: Dataset[SurfaceFormRow],
+                         weights: Seq[Double],
+                         threshold: Double = 0.5): DataFrame =
+    rawSpots.drop("spot_prob")
+      .join(broadcast(sfs.select(col("sf"), col("annotated_count"), col("total_count"))), Seq("sf"))
+      .withColumn("spot_prob", weightedSpotScore(weights))
+      .filter(col("spot_prob") >= threshold)
+      .select("url", "para_idx", "offset", "sf", "spot_prob")
+
   /** A1 total counts: word-aligned overlap-mode match counts of every
    *  dictionary surface form over all paragraph text (the raw-string
    *  total of sfAndTotalCounts; SurfaceFormSource.scala:25-63 consumes the

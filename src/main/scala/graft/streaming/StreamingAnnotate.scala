@@ -59,17 +59,41 @@ object StreamingAnnotate {
   final case class UrlStats(url: String, n_spots: Long, n_batches: Long)
 
   /** Custom streaming state: per-url cumulative spot counts
-   *  (KeyValueGroupedDataset.mapGroupsWithState). */
-  def runningUrlStats(spots: Dataset[StreamSpot]): Dataset[UrlStats] = {
+   *  (KeyValueGroupedDataset.mapGroupsWithState).
+   *
+   *  `idleTimeout = Some(d)` evicts urls idle past `d` via a
+   *  processing-time timeout — REQUIRED on a continuous crawl feed, where
+   *  the url key space is unbounded and untimed state grows without
+   *  bound. Pair it with a non-zero `Trigger.ProcessingTime` on the
+   *  query: registered timeouts make the micro-batch engine run
+   *  timeout-check batches every trigger interval, and the default 0 ms
+   *  trigger then busy-loops empty batches (and `processAllAvailable`
+   *  never quiesces — which is why tests on finite MemoryStreams use the
+   *  default).
+   *
+   *  `idleTimeout = None` (default) keeps state for every url seen —
+   *  only safe for bounded replays/backfills. */
+  def runningUrlStats(spots: Dataset[StreamSpot],
+                      idleTimeout: Option[String] = None): Dataset[UrlStats] = {
     val spark = spots.sparkSession
     import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
     spots.groupByKey(_.url)
-      .mapGroupsWithState[UrlStats, UrlStats](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[UrlStats, UrlStats](timeoutConf) {
         (url, it, state: GroupState[UrlStats]) =>
-          val prev = state.getOption.getOrElse(UrlStats(url, 0L, 0L))
-          val next = UrlStats(url, prev.n_spots + it.size, prev.n_batches + 1)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            // idle url evicted; emit the final running count and drop state
+            val last = state.getOption.getOrElse(UrlStats(url, 0L, 0L))
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UrlStats(url, 0L, 0L))
+            val next = UrlStats(url, prev.n_spots + it.size, prev.n_batches + 1)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
       }
   }
 

@@ -98,10 +98,23 @@ object TextUtil {
    *  punctuation before counting). */
   def isWordToken(t: String): Boolean = t.exists(_.isLetterOrDigit)
 
-  /** Content tokens of a text, lowercased: the token stream used for both
-   *  entity-context building (A4) and query histograms (D1). Stopwords and
-   *  punctuation are excluded consistently on both sides, so generative
-   *  scores stay comparable. */
+  /** Tokenizer stemmer hook (T3). The reference selects a per-language
+   *  Snowball stemmer at model-creation time and threads it through every
+   *  tokenization (CreateSpotlightModel.scala:223-224, db/model/
+   *  Stemmer.scala); `IdentityStemmer` is its no-model default and
+   *  [[PorterStemmer.stem]] the English path. The SAME stemmer must be
+   *  used at model-build and annotate time or token ids won't line up. */
+  type Stemmer = String => String
+  val IdentityStemmer: Stemmer = identity[String] _
+
+  /** Content tokens of a text, lowercased then stemmed: the token stream
+   *  used for both entity-context building (A4) and query histograms (D1).
+   *  Stopwords and punctuation are excluded consistently on both sides,
+   *  so generative scores stay comparable. */
+  def contentTokens(text: String, stem: Stemmer): Array[String] =
+    tokenize(text).collect { case t if !t.is_stop && isWordToken(t.token) =>
+      stem(t.token.toLowerCase(Locale.ENGLISH)) }
+
   def contentTokens(text: String): Array[String] =
-    tokenize(text).collect { case t if !t.is_stop && isWordToken(t.token) => t.token.toLowerCase(Locale.ENGLISH) }
+    contentTokens(text, IdentityStemmer)
 }

@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.eval.{Corpora, CorpusFixtures, Evaluator}
+import graft.filter.AnnotationFilters
+import graft.model.{AnnotationRow, SpotRow, SurfaceFormRow}
+import graft.spot.Spotter
+import graft.triples.Serializers
+import graft.util.PorterStemmer
+
+/** Round-2 operator additions: Porter stemming (T3), weighted spotter
+  * gate (P4), trained confidence thresholds (F1), AIDA/CSAW corpus
+  * readers, XML/NIF serializers (S16), one-pass evaluator. */
+class Round2FeaturesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  // ---- T3 Porter stemmer ---------------------------------------------------
+
+  test("Porter stemmer matches the published algorithm's vocabulary") {
+    // expected values from the canonical Porter (1980) sample vocabulary
+    val vectors = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "conditional" -> "condit", "rational" -> "ration",
+      "valenci" -> "valenc", "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "radicalli" -> "radic", "differentli" -> "differ", "vileli" -> "vile",
+      "analogousli" -> "analog", "vietnamization" -> "vietnam",
+      "predication" -> "predic", "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
+      "electriciti" -> "electr", "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good",
+      "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens", "irritant" -> "irrit",
+      "replacement" -> "replac", "adjustment" -> "adjust",
+      "dependent" -> "depend", "adoption" -> "adopt", "communism" -> "commun",
+      "activate" -> "activ", "angulariti" -> "angular", "homologous" -> "homolog",
+      "effective" -> "effect",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    val bad = vectors.filterNot { case (in, out) => PorterStemmer.stem(in) == out }
+      .map { case (in, out) => s"$in: expected $out, got ${PorterStemmer.stem(in)}" }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("stemmer hook changes the token dictionary consistently") {
+    import spark.implicits._
+    val m = SparkEntry.model(spark)
+    val stemmed = graft.modelbuild.ModelBuild.tokenTypes(
+      m.paragraphs, m.surfaceForms, PorterStemmer.stem)
+    // stemming merges inflected forms: the dictionary must not grow, and
+    // the stemmed dictionary is exactly the stem-image of the unstemmed
+    // one (same tokenization on both sides — T4 consistency contract)
+    val stemmedToks = stemmed.select("token").as[String].collect().toSet
+    val unstemmed = m.tokenTypes.select("token").as[String].collect().toSet
+    assert(stemmedToks.nonEmpty)
+    assert(stemmedToks.size <= unstemmed.size)
+    assert(stemmedToks === unstemmed.map(PorterStemmer.stem))
+  }
+
+  // ---- P4 weighted spotter gate -------------------------------------------
+
+  test("weighted spot score gates by feature dot product at 0.5") {
+    import spark.implicits._
+    val weights = Seq(1.0, 0.2, -0.2, 0.1)
+    val sfs = Seq(
+      //            sf_id  sf       norm      annotated total
+      SurfaceFormRow(1, "Berlin", "/berlin", 50L, 100L), // annProb .5 → .6 keep
+      SurfaceFormRow(2, "USA", "/usa", 40L, 100L),       // abbrev: .4+.2+.1=.7 keep
+      SurfaceFormRow(3, "1984", "/1984", 80L, 100L),     // number: .8-.2+.1=.7 keep
+      SurfaceFormRow(4, "1985", "/1985", 30L, 100L),     // number: .3-.2+.1=.2 drop
+      SurfaceFormRow(5, "thing", "/thing", 20L, 100L)    // .2+.1=.3 drop
+    ).toDS()
+    val spots = (1 to 5).map(i =>
+      SpotRow("u", 1, i * 10, Seq("Berlin", "USA", "1984", "1985", "thing")(i - 1), 0.0)).toDS()
+    val kept = Spotter.weightedGatedSpots(spots, sfs, weights)
+      .select("sf").as[String].collect().toSet
+    assert(kept === Set("Berlin", "USA", "1984"))
+    // unweighted 0.25 gate keeps a different set (annotationProbability only)
+    val unweighted = Spotter.gatedSpots(spots, sfs)
+      .select("sf").as[String].collect().toSet
+    assert(unweighted === Set("Berlin", "USA", "1984", "1985"))
+  }
+
+  // ---- F1 trained confidence thresholds -----------------------------------
+
+  test("trained sim thresholds are ascending quantiles and actually filter") {
+    import spark.implicits._
+    val best = (1 to 100).map(i =>
+      ("u", 1, i, s"sf$i", s"R$i", i / 100.0)) // similarity 0.01..1.0
+      .toDF("url", "para_idx", "offset", "sf", "uri", "similarity_score")
+    val gold = (1 to 100).map(i => ("u", 1, i, s"R$i"))
+      .toDF("url", "para_idx", "offset", "uri")
+    val ts = AnnotationFilters.trainSimThresholds(best, gold, nQuantiles = 11)
+    assert(ts.length === 11)
+    assert(ts === ts.sorted)
+    assert(ts.head <= 0.02 && ts.last >= 0.99)
+    // confidence 0.5 → thresholds(5) ≈ median → about half the rows pass
+    val kept = AnnotationFilters.confidence(best, ts, conf = 0.5).count()
+    assert(kept < 60 && kept > 40, s"kept $kept of 100 at conf=0.5")
+    // empty list stays a no-op (the reference's untrained default)
+    assert(AnnotationFilters.confidence(best, Nil, conf = 0.5).count() === 100)
+  }
+
+  // ---- AIDA / CoNLL corpus reader -----------------------------------------
+
+  test("CoNLL reader: offsets index the reconstructed text, NIL kept, punctuation reattached") {
+    val (gold, text) = Corpora.fromConllLines(spark, CorpusFixtures.conllLines)
+    val texts = text.collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(texts.keySet === Set("1_EU_rejects", "2_Rare_Hendrix"))
+    // detokenization: punctuation re-attaches to the previous token
+    assert(texts("1_EU_rejects") === "EU rejects German call to boycott British lamb.")
+    assert(texts("2_Rare_Hendrix") === "Rare Hendrix song's value, said Peter Hobbs.")
+    val rows = gold.collect().map(r =>
+      (r.getString(0), r.getString(2), r.getString(3), r.getInt(4)))
+    assert(rows.length === 5)
+    // every gold offset indexes its surface form in the document text
+    rows.foreach { case (url, _, sf, off) =>
+      assert(texts(url).substring(off, off + sf.length) === sf,
+        s"offset $off of $url does not anchor '$sf'")
+    }
+    // multi-token mention carries the full surface form from the B line
+    assert(rows.exists { case (_, uri, sf, _) => uri == "Peter_Hobbs" && sf == "Peter Hobbs" })
+    // NIL marker preserved for spotting metrics, filterable for linking
+    assert(rows.count(_._2 == Corpora.ConllNilUri) === 1)
+  }
+
+  // ---- CSAW corpus reader --------------------------------------------------
+
+  test("CSAW reader recovers surface forms relationally and drops unlinked mentions") {
+    import spark.implicits._
+    val texts = CorpusFixtures.csawDocs.toDF("url", "para_text")
+    val (gold, _) = Corpora.fromCsawXml(spark, texts, CorpusFixtures.csawXml)
+    val rows = gold.collect().map(r =>
+      (r.getString(0), r.getString(2), r.getString(3), r.getInt(4))).toSet
+    assert(rows === Set(
+      ("doc_alpha.txt", "European_Union", "European Union", 4),
+      ("doc_alpha.txt", "Brussels", "Brussels", 26),
+      ("doc_beta.txt", "Jimi_Hendrix", "Jimi Hendrix", 0)))
+  }
+
+  // ---- S16 XML / NIF serializers ------------------------------------------
+
+  private def annFixture = {
+    import spark.implicits._
+    (Seq(AnnotationRow("u1", 1, 5, "B&B", "B%26B_Hotel", 7L,
+      Seq("DBpedia:Hotel", "Schema:Thing"), 0.5, 0.25, 0.5)).toDF(),
+      Seq(("u1", 1, "The <B&B> \"inn\"")).toDF("url", "para_idx", "para_text"))
+  }
+
+  test("XML serializer emits the reference attribute set, escaped") {
+    val (anns, paras) = annFixture
+    val xml = Serializers.toSpotlightXml(anns, paras).collect()
+    assert(xml.length === 1)
+    val doc = xml(0).getString(2)
+    assert(doc ===
+      "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" +
+      "<Annotation text=\"The &lt;B&amp;B&gt; &quot;inn&quot;\" confidence=\"0.1\" support=\"10\">" +
+      "<Resources><Resource URI=\"B%26B_Hotel\" support=\"7\" " +
+      "types=\"DBpedia:Hotel,Schema:Thing\" surfaceForm=\"B&amp;B\" offset=\"5\" " +
+      "similarityScore=\"0.5\" percentageOfSecondRank=\"0.25\"/></Resources></Annotation>")
+    // XML must parse and round-trip the escaped values
+    val parsed = scala.xml.XML.loadString(doc)
+    assert((parsed \ "Resources" \ "Resource" \ "@surfaceForm").text === "B&B")
+    assert((parsed \ "@text").text === "The <B&B> \"inn\"")
+  }
+
+  test("XML serializer emits an empty Annotation for paragraphs with no annotations") {
+    import spark.implicits._
+    val (anns, _) = annFixture
+    val paras = Seq(("u1", 1, "text a"), ("u2", 1, "no spots here"))
+      .toDF("url", "para_idx", "para_text")
+    val xml = Serializers.toSpotlightXml(anns, paras).collect()
+    assert(xml.length === 2)
+    val empty = xml.find(_.getString(0) == "u2").get.getString(2)
+    assert(!empty.contains("<Resources>") && empty.endsWith("</Annotation>"))
+  }
+
+  test("NIF serializer emits context and phrase beans as N-Triples") {
+    val (anns, paras) = annFixture
+    val lines = Serializers.toNif(anns, paras).collect().map(_.getString(0)).toSet
+    // 4 context triples + 6 phrase triples
+    assert(lines.size === 10)
+    val nif = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#"
+    val ctx = "<http://spotlight.dbpedia.org/annotate/u1/1#char=0,15>"
+    val phrase = "<http://spotlight.dbpedia.org/annotate/u1/1#char=5,8>"
+    assert(lines.contains(s"$ctx <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <${nif}Context> ."))
+    assert(lines.contains(s"""$ctx <${nif}isString> "The <B&B> \\"inn\\"" ."""))
+    assert(lines.contains(s"""$phrase <${nif}anchorOf> "B&B" ."""))
+    assert(lines.contains(s"$phrase <${nif}referenceContext> $ctx ."))
+    assert(lines.contains(
+      s"$phrase <http://www.w3.org/2005/11/its/rdf#taIdentRef> <http://dbpedia.org/resource/B%26B_Hotel> ."))
+    assert(lines.contains(s"""$phrase <${nif}beginIndex> "5"^^<http://www.w3.org/2001/XMLSchema#nonNegativeInteger> ."""))
+  }
+
+  // ---- one-pass evaluator --------------------------------------------------
+
+  test("one-pass contingency matches hand-computed tp/fp/fn") {
+    import spark.implicits._
+    val gold = Seq(("u", 1, 0, "A"), ("u", 1, 5, "B"), ("u", 1, 9, "C"))
+      .toDF("url", "para_idx", "offset", "sf")
+    val pred = Seq(("u", 1, 5, "B"), ("u", 1, 9, "C"), ("u", 1, 12, "D"), ("u", 2, 0, "E"))
+      .toDF("url", "para_idx", "offset", "sf")
+    val m = Evaluator.spotting(gold, pred)
+    assert((m.tp, m.fp, m.fn) === ((2L, 2L, 1L)))
+    assert(m.precision === 0.5)
+    assert(m.recall === 2.0 / 3.0)
+    // empty sides
+    val e = Evaluator.spotting(gold.limit(0), pred.limit(0))
+    assert((e.tp, e.fp, e.fn) === ((0L, 0L, 0L)))
+  }
+
+  // ---- D10 custom scores ---------------------------------------------------
+
+  test("custom-scores disambiguator ranks by the user score table, absent URIs 0.0") {
+    import spark.implicits._
+    val m = SparkEntry.model(spark)
+    val mm = m
+    val sc = graft.disambig.Disambiguator.spotCandidates(
+      SparkEntry.gated(spark), mm.surfaceForms, mm.candidates)
+    // score exactly one known uri high; everything else defaults to 0.0
+    val someUri = mm.resources.select("uri").as[String].head()
+    val scores = Seq((someUri, 99.0)).toDF("uri", "score")
+    val out = graft.disambig.Disambiguator.customScores(sc, mm.resources, scores)
+    assert(out.count() > 0)
+    // every spot whose candidate set contains someUri must pick it
+    val spotsWithUri = sc
+      .join(mm.resources.toDF().filter(col("uri") === someUri).select("res_id"), Seq("res_id"))
+      .select("url", "para_idx", "offset").distinct()
+    val picked = out.filter(col("uri") === someUri)
+      .select("url", "para_idx", "offset").distinct()
+    assert(spotsWithUri.join(picked, Seq("url", "para_idx", "offset"), "left_anti").count() === 0)
+    assert(out.filter(col("uri") =!= someUri).agg(max("score")).head().getDouble(0) === 0.0)
+  }
+
+  // ---- C4 retry priority ---------------------------------------------------
+
+  test("morphological retry resolves variants in reference priority order") {
+    // "the Beatles" → both the-strip ("Beatles") and s-strip ("the Beatle")
+    // variants could hit a store; priority must pick the the-strip first
+    val vs = graft.disambig.Disambiguator.sfVariants("the Beatles")
+    assert(vs.head === "Beatles")
+    assert(vs === Seq("Beatles", "the Beatle"))
+  }
+}
