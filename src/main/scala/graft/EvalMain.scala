@@ -10,11 +10,18 @@ import org.apache.spark.sql.functions._
  * MRR / %-not-found, and the prior-only baseline accuracy for
  * comparison (DBBaselineDisambiguator). Prints one JSON line.
  *
- * Usage: runMain graft.EvalMain [nDocs]
+ * Also runs the annotate path over an AIDA/CoNLL-format corpus — the
+ * bundled synthetic-universe fixture by default, or any file passed as
+ * the second argument — and reports its annotation P/R, exercising the
+ * gold-corpus reader end-to-end (the reference evaluates against these
+ * corpus formats via EvaluateParagraphDisambiguator + AidaCorpus).
+ *
+ * Usage: runMain graft.EvalMain [nDocs] [conllPath]
  */
 object EvalMain {
   def main(args: Array[String]): Unit = {
     val nDocs = args.lift(0).map(_.toLong).getOrElse(120L)
+    val conllPath = args.lift(1)
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("WARN")
     import graft.pipeline.Annotate
@@ -49,12 +56,26 @@ object EvalMain {
       m.resources)
     val bm = graft.eval.Evaluator.annotation(gold, baseline)
 
+    // ---- AIDA/CoNLL-format corpus: read → annotate → P/R ----------------
+    import spark.implicits._
+    val (cGold, cText) = conllPath match {
+      case Some(p) => graft.eval.Corpora.fromConllFiles(spark, p)
+      case None => graft.eval.Corpora.fromConllLines(
+        spark, graft.eval.CorpusFixtures.conllSyntheticLines)
+    }
+    val cParas = cText.as[graft.model.ParagraphRow]
+    val cBest = graft.disambig.Disambiguator.best(
+      Annotate.scoredOn(spark, m, cParas))
+    val linkGold = cGold.filter(col("uri") =!= graft.eval.Corpora.ConllNilUri)
+    val cm = graft.eval.Evaluator.annotation(linkGold, cBest)
+
     println(
       f"""{"docs":$nDocs,"paragraphs":$nParas,"spots":$nSpots,""" +
       f""""annotate_sec":$annotateSec%.2f,"sec_per_paragraph":${annotateSec / nParas}%.5f,""" +
       f""""spot_precision":${sm.precision}%.4f,"spot_recall":${sm.recall}%.4f,"spot_f1":${sm.f1}%.4f,""" +
       f""""disambig_accuracy":${dm.accuracy}%.4f,"mrr":${dm.mrr}%.4f,"not_found":${dm.notFound},"gold":${dm.total},""" +
-      f""""baseline_precision":${bm.precision}%.4f,"baseline_recall":${bm.recall}%.4f}""")
+      f""""baseline_precision":${bm.precision}%.4f,"baseline_recall":${bm.recall}%.4f,""" +
+      f""""conll_precision":${cm.precision}%.4f,"conll_recall":${cm.recall}%.4f,"conll_gold":${cm.tp + cm.fn}}""")
     spark.stop()
   }
 }

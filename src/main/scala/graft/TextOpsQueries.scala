@@ -105,6 +105,18 @@ object TextOpsQueries {
       vecsD(s, d).select(col("id").as("vec_id"),
         round(Similarity.l2norm(col("vec")), 6).as("l2"))),
 
+    // exact pairwise cosine over a bounded id range — the verification
+    // arithmetic of embedding near-dup, oracle-checkable end to end (the
+    // hyperplane LSH bucketing itself is rows-only, as with t_jaccard_pairs)
+    "t_cosine_pairs" -> ((s, d) => {
+      val v = vecsD(s, d).filter(col("id") < 40)
+      v.select(col("id").as("id_a"), col("vec").as("vec_a"))
+        .crossJoin(v.select(col("id").as("id_b"), col("vec").as("vec_b")))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("vec_a"), col("vec_b")), 6).as("cosine"))
+    }),
+
     // -- multimodal plumbing ---------------------------------------------------
     "t_media_features" -> ((s, d) => {
       import s.implicits._
@@ -209,5 +221,13 @@ object TextOpsQueries {
     "t_embedding_norms" ->
       """SELECT vec_id,
                 round(sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x*x))), 6) AS l2
-         FROM embeddings""")
+         FROM embeddings""",
+    "t_cosine_pairs" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                    FROM embeddings WHERE vec_id < 40)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1]*p[2])) /
+                      (sqrt(list_sum(list_transform(a.vec, x -> x*x))) *
+                       sqrt(list_sum(list_transform(b.vec, x -> x*x)))), 6) AS cosine
+         FROM v a JOIN v b ON a.vec_id < b.vec_id""")
 }

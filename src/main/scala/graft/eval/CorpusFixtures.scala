@@ -35,6 +35,52 @@ object CorpusFixtures {
     "Hobbs\tI\tPeter Hobbs\tPeter_Hobbs\tPERSON",
     ".")
 
+  /** AIDA/CoNLL-format documents over the SYNTHETIC-CORPUS entity
+   *  universe (sources/SyntheticCorpus.entities), so the annotate path
+   *  can be evaluated end-to-end on an AIDA-format input: each document
+   *  carries one gold mention plus that entity's distinctive context
+   *  vocabulary — including both Mercury senses, which only context
+   *  disambiguation can separate. */
+  val conllSyntheticLines: Seq[String] = Seq(
+    "-DOCSTART- (10 spark doc)",
+    "The",
+    "Apache\tB\tApache Spark\tApache_Spark\tORGANIZATION",
+    "Spark\tI\tApache Spark\tApache_Spark\tORGANIZATION",
+    "cluster",
+    "computing",
+    "dataframe",
+    "shuffle",
+    "executor",
+    "catalyst",
+    ".",
+    "-DOCSTART- (11 planet doc)",
+    "Mercury\tB\tMercury\tMercury_(planet)\tMISC",
+    "planet",
+    "orbit",
+    "solar",
+    "astronomy",
+    "telescope",
+    "crater",
+    ".",
+    "-DOCSTART- (12 element doc)",
+    "Mercury\tB\tMercury\tMercury_(element)\tMISC",
+    "metal",
+    "liquid",
+    "toxic",
+    "thermometer",
+    "chemistry",
+    "amalgam",
+    ".",
+    "-DOCSTART- (13 usa doc)",
+    "USA\tB\tUSA\tUnited_States\tLOCATION",
+    "federal",
+    "congress",
+    "washington",
+    "states",
+    "nation",
+    "government",
+    ".")
+
   /** CSAW-format annotation XML + matching raw document texts. */
   val csawDocs: Seq[(String, String)] = Seq(
     ("doc_alpha.txt", "The European Union met in Brussels today."),

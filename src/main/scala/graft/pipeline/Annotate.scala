@@ -107,6 +107,20 @@ object Annotate {
     scoredFromGated(spark, m, Spotter.gatedSpots(raw, m.surfaceForms), cfg)
   }
 
+  /** The served-request path: annotate an ARBITRARY paragraph set against
+   *  a built model (the reference's SpotlightInterface.annotate on posted
+   *  text, rest/.../SpotlightInterface.java:120-160 — spot, gate,
+   *  candidates, score — but batched over a Dataset instead of one
+   *  request at a time). Used by the gold-corpus eval path. */
+  def scoredOn(spark: SparkSession, m: Model, paragraphs: Dataset[ParagraphRow],
+               cfg: Disambiguator.Config = Disambiguator.Config()): DataFrame = {
+    val bc = spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms))
+    val gated = Spotter.gatedSpots(Spotter.spots(paragraphs, bc), m.surfaceForms)
+    val spotCands = Disambiguator.spotCandidates(gated, m.surfaceForms, m.candidates, cfg)
+    val docTokens = Disambiguator.docTokenHistogram(paragraphs, m.tokenTypes)
+    Disambiguator.scored(spotCands, docTokens, m.entityContexts, m.resources, m.totals, cfg)
+  }
+
   /** Same, from an already-computed (possibly cached) gated-spots table —
    *  avoids rebuilding/broadcasting the automaton and re-running the
    *  spot stage when the caller holds it. */
