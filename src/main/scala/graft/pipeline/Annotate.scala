@@ -135,10 +135,11 @@ object Annotate {
    *  DataFrame (callers holding a cached `scored` avoid re-running the
    *  join DAG). */
   def annotationsFrom(spark: SparkSession, scoredDf: DataFrame,
-                      conf: Double = 0.1, minSupport: Long = 10): Dataset[AnnotationRow] = {
+                      conf: Double = 0.1, minSupport: Long = 10,
+                      simThresholds: Seq[Double] = Nil): Dataset[AnnotationRow] = {
     import spark.implicits._
     val best = Disambiguator.best(scoredDf).as[AnnotationRow]
-    AnnotationFilters.standardChain(best, conf, minSupport)
+    AnnotationFilters.standardChain(best, conf, minSupport, simThresholds)
   }
 
   /** Filtered best-per-spot annotations (server defaults). */

@@ -112,8 +112,22 @@ object Runner {
     val model = Model(paragraphs, occurrences, closure, surfaceForms,
       resources, candidates, tokenTypes, entityContexts, totals)
 
+    // F1 training as a model stage: simThresholds = ascending quantiles
+    // of gold-correct similarity scores over the model's own corpus (the
+    // artifact the reference ships as config.getSimilarityThresholds).
+    // Persisted like any other model table, so a resumed run loads it
+    // instead of re-running the scored DAG.
+    val scoredDf = Annotate.scored(spark, model).cache()
+    val simThresholds = st("sim_thresholds") {
+      val ts = graft.filter.AnnotationFilters.trainSimThresholds(
+        graft.disambig.Disambiguator.best(scoredDf), resolved.toDF())
+      ts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("quantile_idx", "threshold")
+    }
+    val thresholdsSeq = simThresholds.orderBy("quantile_idx")
+      .select("threshold").as[Double].collect().toSeq
+
     val annotations = st("annotations") {
-      Annotate.annotations(spark, model).toDF()
+      Annotate.annotationsFrom(spark, scoredDf, simThresholds = thresholdsSeq).toDF()
     }.as[AnnotationRow]
 
     val triples = st("triples") {

@@ -89,6 +89,15 @@ object Spotter {
       lit(weights(3))
   }
 
+  /** Load the 4-weight spotter feature vector from a model directory's
+   *  `spotter_thresholds.txt` — one space-separated line, the artifact a
+   *  trained reference model ships (db/SpotlightModel.scala:32,132;
+   *  shipped default "1.0 0.2 -0.2 0.1",
+   *  index/.../CreateSpotlightModel.scala:230-233). */
+  def loadSpotterThresholds(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[Double] =
+    spark.read.textFile(path).first().trim.split("\\s+").toSeq.map(_.toDouble)
+
   /** P4 weighted gate: spot_prob = weighted feature score, threshold 0.5
    *  (the reference's spotFeatureWeightVector branch,
    *  DBSpotter.scala:98-104, 112-117). [[gatedSpots]] is the no-weights
@@ -132,6 +141,57 @@ object Spotter {
   /** R5: duplicate spot removal (DBSpotter.scala:131 `spots.distinct`). */
   def distinctSpots(spots: DataFrame): DataFrame =
     spots.dropDuplicates("url", "para_idx", "offset", "sf")
+
+  /**
+   * P4 score-aware overlap resolution — the reference's
+   * `dropOverlappingSpots` cascade (db/DBSpotter.scala:129-179) for
+   * multi-spotter composition: spots sorted by (offset, sf length); on
+   * intersection, a longer spot displaces the previous one if its score
+   * exceeds half the previous score, a shorter one survives only at
+   * more than double, equal scores break on `typeOrder` rank of the
+   * spot's source (`spot_type` column; indexOf semantics incl. the
+   * reference's treatment of unknown types), otherwise higher score
+   * wins. Per-(url, paragraph) flatMapGroups — the group is bounded by
+   * spots-per-paragraph, the same list the reference buffers in memory.
+   * [[AhoCorasick.findNonOverlapping]] remains the single-spotter
+   * leftmost-longest fast path.
+   */
+  def resolveOverlaps(spots: DataFrame, typeOrder: Seq[String] = Nil): DataFrame = {
+    val spark = spots.sparkSession
+    import spark.implicits._
+    val withType =
+      if (spots.columns.contains("spot_type")) spots
+      else spots.withColumn("spot_type", lit(""))
+    withType
+      .select($"url", $"para_idx", $"offset", $"sf", $"spot_prob", $"spot_type")
+      .as[(String, Int, Int, String, Double, String)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toArray.distinct.sortBy(s => (s._3, s._4.length))
+        val removed = scala.collection.mutable.BitSet()
+        var lastIdx = -1
+        var i = 0
+        while (i < sorted.length) {
+          val s = sorted(i)
+          val l = if (lastIdx >= 0) sorted(lastIdx) else null
+          val intersects = l != null &&
+            s._3 < l._3 + l._4.length && l._3 < s._3 + s._4.length
+          if (intersects) {
+            val betterType = typeOrder.indexOf(s._6) < typeOrder.indexOf(l._6)
+            val spotIsLonger = s._4.length > l._4.length
+            if (spotIsLonger && s._5 > l._5 / 2.0) { removed += lastIdx; lastIdx = i }
+            else if (!spotIsLonger && !(s._5 > l._5 * 2.0)) removed += i
+            else if (s._5 == l._5 && betterType) { removed += lastIdx; lastIdx = i }
+            else if (s._5 == l._5 && !betterType) removed += i
+            else if (s._5 > l._5) { removed += lastIdx; lastIdx = i }
+            else removed += i
+          } else lastIdx = i
+          i += 1
+        }
+        sorted.iterator.zipWithIndex.collect { case (s, j) if !removed(j) => s }
+      }
+      .toDF("url", "para_idx", "offset", "sf", "spot_prob", "spot_type")
+  }
 
   /** P12: uppercase-sequence spans `([A-Z][^ ,!?.:;]*[ ]?)+`
    *  (db/DBSpotter.scala:23-29) — candidate spans for FSA-style spotting. */

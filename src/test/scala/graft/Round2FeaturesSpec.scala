@@ -94,6 +94,50 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(unweighted === Set("Berlin", "USA", "1984", "1985"))
   }
 
+  // ---- P4 score-aware overlap resolution ----------------------------------
+
+  test("overlap resolution follows the reference score cascade") {
+    import spark.implicits._
+    // "New York" (p=.6) vs "New York City" (p=.4): longer wins at > half
+    // "York" (p=.9) then beats the kept longer spot at more-than-double... no:
+    // .9 > .4*2 fails the shorter-survives rule only if NOT (> 2x); .9 > .8
+    // so it falls through to the higher-score branch and displaces it.
+    val spots = Seq(
+      ("u", 1, 0, "New York", 0.6, ""),
+      ("u", 1, 0, "New York City", 0.4, ""),
+      ("u", 1, 4, "York", 0.9, ""),
+      // non-overlapping later spot survives untouched
+      ("u", 1, 20, "Brooklyn", 0.3, ""),
+      // shorter spot with NOT more than double the score is dropped
+      ("u", 2, 0, "Long Island", 0.5, ""),
+      ("u", 2, 0, "Long", 0.8, "")
+    ).toDF("url", "para_idx", "offset", "sf", "spot_prob", "spot_type")
+    val kept = graft.spot.Spotter.resolveOverlaps(spots)
+      .select("para_idx", "sf").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(kept === Set((1, "York"), (1, "Brooklyn"), (2, "Long Island")))
+  }
+
+  test("overlap resolution equal scores break on typeOrder rank") {
+    import spark.implicits._
+    // The reference's type branches are reachable only when both probs
+    // are equal AND the earlier longer/shorter branches fall through —
+    // i.e. a longer spot at prob == prev (so "prob > prev/2" fails only
+    // at 0.0): the cascade is reproduced verbatim, quirks included
+    // (DBSpotter.scala:146-157).
+    val spots = Seq(
+      ("u", 1, 0, "Beta", 0.0, "chunk"),
+      ("u", 1, 0, "Beta Gamma", 0.0, "ner")
+    ).toDF("url", "para_idx", "offset", "sf", "spot_prob", "spot_type")
+    // ner ranks before chunk → the longer ner spot displaces the chunk spot
+    val kept = graft.spot.Spotter.resolveOverlaps(spots, typeOrder = Seq("ner", "chunk"))
+      .select("sf").as[String].collect().toSet
+    assert(kept === Set("Beta Gamma"))
+    // reversed rank → the incumbent survives, the longer spot is dropped
+    val kept2 = graft.spot.Spotter.resolveOverlaps(spots, typeOrder = Seq("chunk", "ner"))
+      .select("sf").as[String].collect().toSet
+    assert(kept2 === Set("Beta"))
+  }
+
   // ---- F1 trained confidence thresholds -----------------------------------
 
   test("trained sim thresholds are ascending quantiles and actually filter") {

@@ -28,8 +28,19 @@ class RunnerSpec extends AnyFunSuite {
     assert(triples1.nonEmpty)
     val stages = Seq("paragraphs", "occurrences", "redirect_closure",
       "resolved_occurrences", "surface_forms", "resources", "candidates",
-      "token_types", "entity_contexts", "annotations", "triples")
+      "token_types", "entity_contexts", "sim_thresholds", "annotations", "triples")
     stages.foreach(s => assert(Pipeline.isCommitted(s"$root/$s"), s"$s not committed"))
+
+    // F1 training artifact: ascending similarity-score quantiles, applied
+    // to the annotations stage (conf 0.1 → the 10th-percentile threshold)
+    val ts = spark.read.parquet(s"$root/sim_thresholds")
+      .orderBy("quantile_idx").select("threshold")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(ts.length === 101)
+    assert(ts === ts.sorted)
+    val minSim = spark.read.parquet(s"$root/annotations")
+      .agg(org.apache.spark.sql.functions.min("similarity_score")).head().getDouble(0)
+    assert(minSim >= ts(10), s"annotation below trained threshold: $minSim < ${ts(10)}")
 
     // simulate a crash after entity_contexts: drop downstream commits
     Pipeline.invalidate(s"$root/annotations")
