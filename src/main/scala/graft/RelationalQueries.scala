@@ -181,7 +181,40 @@ object RelationalQueries {
     "r_mod_split" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("bucket", pmod(col("o_orderkey"), lit(5)))
-        .groupBy("bucket").agg(count(lit(1)).as("n"))))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))),
+
+    // R2-family: lag/lead deltas (the percentageOfSecondRank shape over
+    // event streams — previous-row comparison inside one window sort)
+    "r_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("prev_value",
+          lag(col("value").cast("decimal(18,2)"), 1).over(w).cast("double"))
+        .withColumn("delta",
+          (col("value").cast("decimal(18,2)") -
+            coalesce(lag(col("value").cast("decimal(18,2)"), 1).over(w),
+              lit(0).cast("decimal(18,2)"))).cast("double"))
+        .select("user_id", "event_id", "prev_value", "delta")
+    }),
+
+    // A6-family: multi-level totals via rollup (grand + per-group totals
+    // in one pass — the totals-table shape)
+    "r_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))),
+
+    // R1-family: ntile quantile bucketing (the threshold-training shape:
+    // rank rows into k equal buckets per partition)
+    "r_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      t(s, d, "events")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n"),
+          max(col("value").cast("decimal(18,2)")).cast("double").as("q_max"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "r_agg_counts" ->
@@ -261,5 +294,25 @@ object RelationalQueries {
                 CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty_highdisc,
                 count(CASE WHEN l_tax > 0.04 THEN 1 END) AS n_hightax,
                 CAST(round(avg(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_price
-         FROM lineitem GROUP BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag""",
+    "r_lag_delta" ->
+      """SELECT user_id, event_id,
+                CAST(lag(CAST(value AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_value,
+                CAST(CAST(value AS DECIMAL(18,2)) -
+                     coalesce(lag(CAST(value AS DECIMAL(18,2)), 1) OVER w,
+                              CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS delta
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "r_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "r_ntile" ->
+      """SELECT event_type, quartile, count(*) AS n,
+                CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q_max
+         FROM (SELECT event_type, event_id, value,
+                      ntile(4) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS quartile
+               FROM events)
+         GROUP BY event_type, quartile""")
 }
