@@ -49,7 +49,7 @@ object TextOpsQueries {
         round(TextStats.langIdUdf(col("text")).getField("_2"), 6).as("lang_score"))),
 
     "t_fingerprint" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), TextStats.fingerprintUdf(col("text")).as("fingerprint"))),
+      docs(s, d).select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))),
 
     // -- dedup -------------------------------------------------------------
     "t_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d))),

@@ -81,16 +81,15 @@ object TextStats {
   }
 
   /** 64-bit polynomial rolling-hash fingerprint of the full document
-   *  (deterministic; base 1099511628211 — FNV prime). */
-  val fingerprintUdf = udf { (text: String) =>
-    if (text == null) 0L
-    else {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < text.length) { h = (h ^ text.charAt(i)) * 0x100000001b3L; i += 1 }
-      h
-    }
-  }
+   *  (deterministic; base 1099511628211 — FNV prime). Kept as the
+   *  UDF reference implementation; [[fingerprint]] is the native
+   *  codegen'd Catalyst expression with identical semantics (equality
+   *  asserted in Round2FeaturesSpec). */
+  val fingerprintUdf = udf((text: String) => graft.functions.FnvFingerprint.hash(text))
+
+  /** Native-expression fingerprint — stays inside whole-stage codegen
+   *  (graft.functions.FnvFingerprint). */
+  def fingerprint(c: Column): Column = graft.functions.GraftFunctions.fnvFingerprint(c)
 
   /** All stats in one pass over documents(doc_id, text, ...). */
   def documentStats(docs: DataFrame): DataFrame =
@@ -103,5 +102,5 @@ object TextStats {
       round(distinctWordRatio(col("text")), 6).as("distinct_word_ratio"),
       qualityScore(col("text")).as("quality_score"),
       langIdUdf(col("text")).getField("_1").as("lang_pred"),
-      fingerprintUdf(col("text")).as("fingerprint"))
+      fingerprint(col("text")).as("fingerprint"))
 }

