@@ -113,8 +113,13 @@ object Annotate {
    *  candidates, score — but batched over a Dataset instead of one
    *  request at a time). Used by the gold-corpus eval path. */
   def scoredOn(spark: SparkSession, m: Model, paragraphs: Dataset[ParagraphRow],
-               cfg: Disambiguator.Config = Disambiguator.Config()): DataFrame = {
-    val bc = spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms))
+               cfg: Disambiguator.Config = Disambiguator.Config(),
+               automaton: Option[org.apache.spark.broadcast.Broadcast[graft.spot.AhoCorasick]] = None)
+      : DataFrame = {
+    // callers annotating repeatedly (streaming micro-batches) pass the
+    // prebuilt broadcast so the driver-side automaton build runs once
+    val bc = automaton.getOrElse(
+      spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms)))
     val gated = Spotter.gatedSpots(Spotter.spots(paragraphs, bc), m.surfaceForms)
     val spotCands = Disambiguator.spotCandidates(gated, m.surfaceForms, m.candidates, cfg)
     val docTokens = Disambiguator.docTokenHistogram(paragraphs, m.tokenTypes)

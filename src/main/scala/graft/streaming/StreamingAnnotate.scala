@@ -21,7 +21,9 @@ import graft.spot.AhoCorasick
  *  - [[windowedSpotCounts]]: event-time windowed surface-form counts with
  *    a watermark (late crawl records beyond the watermark are dropped);
  *  - [[runningUrlStats]]: per-url running spot counts via
- *    mapGroupsWithState (custom state, processing-time timeout).
+ *    mapGroupsWithState (custom state, processing-time timeout);
+ *  - [[annotateStream]]: end-to-end streaming annotation — the full
+ *    spot/candidate/score dataflow per micro-batch via foreachBatch.
  */
 object StreamingAnnotate {
 
@@ -95,6 +97,35 @@ object StreamingAnnotate {
             next
           }
       }
+  }
+
+  /**
+   * End-to-end streaming annotation: each micro-batch of crawled pages
+   * runs the FULL batch scoring dataflow (extract → spot → candidates →
+   * generative scoring → best-per-spot) against the static model via
+   * `foreachBatch` — the stream-static pattern for dataflows Structured
+   * Streaming cannot express incrementally (context scoring aggregates
+   * over the batch's own paragraphs; that state is per-batch by
+   * definition, so no cross-batch watermarking is needed and results
+   * equal the batch annotator on the same pages, asserted in
+   * StreamingSpec). The broadcast automaton is built ONCE on the driver
+   * and reused across micro-batches.
+   */
+  def annotateStream(pages: Dataset[WebPage], m: graft.pipeline.Model)
+                    (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = pages.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      graft.spot.Spotter.buildAutomaton(m.surfaceForms))
+    pages.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[WebPage], batchId: Long) =>
+        val paras = graft.extract.Extractor.paragraphs(
+          graft.extract.Extractor.extracted(batch))
+        val best = graft.disambig.Disambiguator.best(
+          graft.pipeline.Annotate.scoredOn(spark, m, paras, automaton = Some(bc)))
+        sink(best, batchId)
+      }
+      .start()
   }
 
   /** Wire a spot stream to an in-memory sink (tests / smoke checks). */

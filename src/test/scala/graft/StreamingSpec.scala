@@ -42,6 +42,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming annotation equals batch annotation on the same pages") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val m = model
+    val pages = SyntheticCorpus.webPages(spark, 12).collect()
+
+    val sink = scala.collection.mutable.ArrayBuffer[(String, Int, Int, String)]()
+    val stream = MemoryStream[graft.model.WebPage]
+    stream.addData(pages.take(6).toSeq)
+    val q = StreamingAnnotate.annotateStream(stream.toDS(), m) { (best, _) =>
+      sink ++= best.select("url", "para_idx", "offset", "uri").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      ()
+    }
+    q.processAllAvailable()
+    stream.addData(pages.drop(6).toSeq) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = graft.disambig.Disambiguator.best(
+      graft.pipeline.Annotate.scoredOn(spark, m,
+        graft.extract.Extractor.paragraphs(
+          graft.extract.Extractor.extracted(SyntheticCorpus.webPages(spark, 12)))))
+      .select("url", "para_idx", "offset", "uri").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(sink.toSet === batch)
+    assert(sink.nonEmpty)
+    assert(sink.size === sink.toSet.size) // micro-batches don't overlap
+  }
+
   test("windowed counts with watermark and running url state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
