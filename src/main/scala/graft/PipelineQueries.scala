@@ -128,6 +128,10 @@ object PipelineQueries {
       graft.triples.Serializers.toNif(
         Annotate.annotationsFrom(s, SparkEntry.scored(s)).toDF(),
         m(s).paragraphs.toDF())),
+    "p_candidates_xml" -> ((s, _) =>
+      // S16 /candidates document: full ranked candidate list per spot
+      graft.triples.Serializers.toCandidatesXml(
+        SparkEntry.scored(s), m(s).paragraphs.toDF())),
     "p_eval_gate" -> ((s, _) => {
       // single-row P/R + accuracy summary — the ≥0.95 gate, queryable
       val mm = m(s)

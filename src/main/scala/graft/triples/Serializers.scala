@@ -56,15 +56,7 @@ object Serializers {
    *  reference buffers per request). */
   def toSpotlightXml(annotations: DataFrame, paragraphs: DataFrame,
                      confidence: Double = 0.1, support: Long = 10): DataFrame = {
-    val frag = concat(
-      lit("<Resource URI=\""), xmlEsc(col("uri")),
-      lit("\" support=\""), col("support"),
-      lit("\" types=\""), xmlEsc(concat_ws(",", col("types"))),
-      lit("\" surfaceForm=\""), xmlEsc(col("sf")),
-      lit("\" offset=\""), col("offset"),
-      lit("\" similarityScore=\""), col("similarity_score"),
-      lit("\" percentageOfSecondRank=\""), col("percentage_of_second_rank"),
-      lit("\"/>"))
+    val frag = resourceFrag
     annotations
       .select(col("url"), col("para_idx"), col("offset").as("_off"), frag.as("_frag"))
       .groupBy("url", "para_idx")
@@ -79,6 +71,58 @@ object Serializers {
         lit(s"""" confidence="$confidence" support="$support">"""),
         when(col("_resources").isNull, lit(""))
           .otherwise(concat(lit("<Resources>"), col("_resources"), lit("</Resources>"))),
+        lit("</Annotation>")).as("xml"))
+  }
+
+  /** Per-candidate `<Resource .../>` fragment (shared by the annotate
+   *  and candidates XML documents). */
+  private def resourceFrag: org.apache.spark.sql.Column = concat(
+    lit("<Resource URI=\""), xmlEsc(col("uri")),
+    lit("\" support=\""), col("support"),
+    lit("\" types=\""), xmlEsc(concat_ws(",", col("types"))),
+    lit("\" surfaceForm=\""), xmlEsc(col("sf")),
+    lit("\" offset=\""), col("offset"),
+    lit("\" similarityScore=\""), col("similarity_score"),
+    lit("\" percentageOfSecondRank=\""), col("percentage_of_second_rank"),
+    lit("\"/>"))
+
+  /** S16 candidates XML: the `/candidates` endpoint's document — every
+   *  spot with its FULL ranked candidate list, not just best-1
+   *  (OutputManager.makeCandidatesXML, rest/.../OutputManager.java:143-191).
+   *  Input is the scored DataFrame (rank ≤ k per spot). Nesting is the
+   *  sane `<SurfaceForm><Resources>…</Resources></SurfaceForm>` tree —
+   *  the reference's SAX attribute reuse emits Resources as siblings
+   *  with accumulated attributes (a long-standing quirk of that code);
+   *  the information content (per-sf ranked candidates with the full
+   *  attribute set) is identical. Two bounded collect_lists: candidates
+   *  per spot (≤ k), spots per paragraph. */
+  def toCandidatesXml(scored: DataFrame, paragraphs: DataFrame,
+                      confidence: Double = 0.1, support: Long = 10): DataFrame = {
+    val perSpot = scored
+      .select(col("url"), col("para_idx"), col("offset"), col("sf"),
+        col("rank"), resourceFrag.as("_frag"))
+      .groupBy("url", "para_idx", "offset", "sf")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rank"), col("_frag")))),
+        s => s.getField("_frag")), "").as("_resources"))
+      .select(col("url"), col("para_idx"), col("offset").as("_off"), concat(
+        lit("<SurfaceForm surfaceForm=\""), xmlEsc(col("sf")),
+        lit("\" offset=\""), col("_off"),
+        lit("\" visibility=\"true\"><Resources>"), col("_resources"),
+        lit("</Resources></SurfaceForm>")).as("_sfElem"))
+    perSpot
+      .groupBy("url", "para_idx")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("_off"), col("_sfElem")))),
+        s => s.getField("_sfElem")), "").as("_sfs"))
+      .join(paragraphs.select(col("url"), col("para_idx"), col("para_text")),
+        Seq("url", "para_idx"), "right")
+      .select(col("url"), col("para_idx"), concat(
+        lit("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<Annotation text=\""),
+        xmlEsc(col("para_text")),
+        lit(s"""" confidence="$confidence" support="$support">"""),
+        when(col("_sfs").isNull, lit(""))
+          .otherwise(concat(lit("<SurfaceForms>"), col("_sfs"), lit("</SurfaceForms>"))),
         lit("</Annotation>")).as("xml"))
   }
 

@@ -232,6 +232,27 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(!empty.contains("<Resources>") && empty.endsWith("</Annotation>"))
   }
 
+  test("candidates XML nests the full ranked list per surface form") {
+    import spark.implicits._
+    val scored = Seq(
+      ("u1", 1, 5, "B&B", "B%26B_Hotel", 7L, Seq("DBpedia:Hotel"), 0.6, 0.25, 1),
+      ("u1", 1, 5, "B&B", "Bed_and_breakfast", 9L, Seq[String](), 0.4, -1.0, 2))
+      .toDF("url", "para_idx", "offset", "sf", "uri", "support", "types",
+        "similarity_score", "percentage_of_second_rank", "rank")
+    val paras = Seq(("u1", 1, "The <B&B> inn")).toDF("url", "para_idx", "para_text")
+    val doc = Serializers.toCandidatesXml(scored, paras).head().getString(2)
+    val parsed = scala.xml.XML.loadString(doc)
+    val sfs = parsed \ "SurfaceForms" \ "SurfaceForm"
+    assert(sfs.length === 1)
+    assert((sfs.head \ "@surfaceForm").text === "B&B")
+    val res = sfs.head \ "Resources" \ "Resource"
+    assert(res.length === 2)
+    // rank order preserved: best candidate first
+    assert((res.head \ "@URI").text === "B%26B_Hotel")
+    assert((res(1) \ "@URI").text === "Bed_and_breakfast")
+    assert((res.head \ "@similarityScore").text === "0.6")
+  }
+
   test("NIF serializer emits context and phrase beans as N-Triples") {
     val (anns, paras) = annFixture
     val lines = Serializers.toNif(anns, paras).collect().map(_.getString(0)).toSet
