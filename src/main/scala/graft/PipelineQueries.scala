@@ -112,6 +112,20 @@ object PipelineQueries {
     "p_conll_gold" -> ((s, _) =>
       // AIDA/CoNLL corpus reader over the bundled fixture
       graft.eval.Corpora.fromConllLines(s, graft.eval.CorpusFixtures.conllLines)._1),
+    "p_milnewitten_gold" -> ((s, _) =>
+      // MilneWitten corpus reader over the bundled fixture
+      graft.eval.Corpora.fromMilneWittenParagraphs(
+        s, graft.eval.CorpusFixtures.milneWittenDocs)._1),
+    "p_kbp_gold" -> ((s, _) => {
+      // KBP corpus reader over the bundled fixture
+      import s.implicits._
+      val kb = graft.eval.Corpora.kbpKbFromXml(s, graft.eval.CorpusFixtures.kbpKbXml)
+      val paras = graft.eval.Corpora.kbpSgmParagraphs(graft.eval.CorpusFixtures.kbpSgm)
+        .zipWithIndex.map { case (p, i) => ("DOC_A", i + 1, p) }
+        .toDF("url", "para_idx", "para_text")
+      graft.eval.Corpora.kbpGold(s, graft.eval.CorpusFixtures.kbpQueriesXml,
+        graft.eval.CorpusFixtures.kbpAnswerLines, kb, paras)
+    }),
     "p_csaw_gold" -> ((s, _) => {
       // CSAW corpus reader over the bundled fixture
       import s.implicits._

@@ -44,6 +44,132 @@ object Corpora {
     fromMarkupParagraphs(spark,
       lines.zipWithIndex.map { case (l, i) => (s"heldout:$i", Seq(l)) })
 
+  // ---- MilneWitten (Wikify) .htm corpus ------------------------------------
+
+  private val WikiLink = """\[\[(.*?)\]\]""".r
+
+  /** Parse one MilneWitten paragraph: `[[uri|sf|confidence]]` links
+   *  (2- and 3-field forms) embedded in plain text; returns
+   *  (links(uri, sf, confidence, offset-in-clean-text), cleanText) —
+   *  the offset arithmetic of MilneWittenCorpus.parse
+   *  (eval/.../corpus/MilneWittenCorpus.scala:48-87) without its
+   *  accumulated-difference bookkeeping (building the clean text
+   *  directly gives the same offsets). */
+  private[eval] def parseMilneWittenParagraph(p: String)
+      : (Seq[(String, String, Double, Int)], String) = {
+    val sb = new StringBuilder
+    val links = Vector.newBuilder[(String, String, Double, Int)]
+    var last = 0
+    WikiLink.findAllMatchIn(p).foreach { m =>
+      sb.append(p.substring(last, m.start))
+      val parts = m.group(1).split('|')
+      val sf = if (parts.length > 1) parts(1) else parts(0)
+      val conf = if (parts.length > 2) parts(2).toDouble else 1.0
+      links += ((parts(0), sf, conf, sb.length))
+      sb.append(sf): Unit
+      last = m.end
+    }
+    sb.append(p.substring(last))
+    (links.result(), sb.toString)
+  }
+
+  /** MilneWitten corpus from (docTitle → paragraph texts). Gold carries
+   *  the per-link confidence column the 3-field form encodes. */
+  def fromMilneWittenParagraphs(spark: SparkSession,
+                                docs: Seq[(String, Seq[String])]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val parsed = docs.flatMap { case (title, paras) =>
+      paras.zipWithIndex.map { case (p, i) =>
+        val (links, clean) = parseMilneWittenParagraph(p.trim)
+        (title, i + 1, links, clean)
+      }
+    }
+    val gold = parsed.flatMap { case (title, idx, links, _) =>
+      links.map { case (uri, sf, conf, off) => (title, idx, uri, sf, off, conf) }
+    }.toDF("url", "para_idx", "uri", "sf", "offset", "confidence")
+    val text = parsed.map { case (title, idx, _, clean) => (title, idx, clean) }
+      .toDF("url", "para_idx", "para_text")
+    (gold, text)
+  }
+
+  /** MilneWitten corpus from its on-disk layout: a directory of `.htm`
+   *  files, document title from `<title>`, one record per `<p>`
+   *  (MilneWittenCorpus.fromDirectory:89-94). Files parse in parallel;
+   *  per-file XHTML parsing is bounded by document size. */
+  def fromMilneWittenDirectory(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val parsed = spark.sparkContext.wholeTextFiles(s"$dir/*.htm")
+      .flatMap { case (_, content) =>
+        val doc = scala.xml.parsing.XhtmlParser(scala.io.Source.fromString(content))
+        val title = (doc \\ "title").text
+        (doc \\ "p").map(_.text.trim).zipWithIndex.map { case (p, i) =>
+          val (links, clean) = parseMilneWittenParagraph(p)
+          (title, i + 1, links, clean)
+        }
+      }.cache()
+    val gold = parsed.flatMap { case (title, idx, links, _) =>
+      links.map { case (uri, sf, conf, off) => (title, idx, uri, sf, off, conf) }
+    }.toDF("url", "para_idx", "uri", "sf", "offset", "confidence")
+    val text = parsed.map { case (title, idx, _, clean) => (title, idx, clean) }
+      .toDF("url", "para_idx", "para_text")
+    (gold, text)
+  }
+
+  // ---- KBP entity-linking corpus -------------------------------------------
+
+  /** KBP knowledge-base entities from one KB XML document:
+   *  `<entity id="E123" wiki_title="...">` → (kb_id, uri) with the title
+   *  wiki-encoded (KBPCorpus.kbFromDirectory:72-104 — its dense-array
+   *  index arithmetic exists only to emulate a map lookup; a keyed join
+   *  carries the same information relationally). */
+  def kbpKbFromXml(spark: SparkSession, xml: String): DataFrame = {
+    import spark.implicits._
+    val root = scala.xml.XML.loadString(xml)
+    (root \ "entity").flatMap { e =>
+      val id = e.attribute("id").map(_.text).getOrElse("")
+      val title = e.attribute("wiki_title").map(_.text).getOrElse("")
+      if (id.isEmpty || title.isEmpty) None
+      else Some((id, graft.util.TextUtil.wikiEncode(title)))
+    }.toDF("kb_id", "uri")
+  }
+
+  /** SGM newswire/web-blog text → paragraphs: `<P>` (news) and `<POST>`
+   *  (blogs) elements, newlines collapsed (KBPCorpus.parseNews:147-155,
+   *  parseWebBlog:158-166). */
+  def kbpSgmParagraphs(sgm: String): Seq[String] = {
+    val root = scala.xml.XML.loadString(sgm)
+    val ps = (root \\ "P") ++ (root \\ "POST")
+    ps.map(_.text.replace("\n", " ").trim).filter(_.nonEmpty)
+  }
+
+  /**
+   * KBP gold: entity-linking queries (`<query id><name><docid>`) joined
+   * to the answers tab (qid → kb node id; `NIL*` answers dropped, as the
+   * reference does, KBPCorpus.foreach:113-118) and the KB (kb_id → uri),
+   * then anchored in the source paragraphs — one occurrence per
+   * paragraph containing the query name, at its first offset
+   * (`locate`-based, matching the reference's per-paragraph occurrence).
+   * `paragraphs` = (url=docid, para_idx, para_text).
+   */
+  def kbpGold(spark: SparkSession, queriesXml: String, answerLines: Seq[String],
+              kb: DataFrame, paragraphs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fixed = queriesXml.replaceAll("(?i)encoding=\"utf8\"", "encoding=\"utf-8\"")
+    val queries = (scala.xml.XML.loadString(fixed) \ "query").map { q =>
+      ((q \ "@id").text, (q \ "name").text, (q \ "docid").text)
+    }.toDF("qid", "sf", "url")
+    val answers = answerLines.map(_.split("\t")).collect {
+      case arr if arr.length >= 2 => (arr(0), arr(1))
+    }.toDF("qid", "kb_id")
+    queries
+      .join(answers.filter(!col("kb_id").startsWith("NIL")), Seq("qid"))
+      .join(kb, Seq("kb_id"))
+      .join(paragraphs, Seq("url"))
+      .withColumn("offset", expr("locate(sf, para_text) - 1"))
+      .filter(col("offset") >= 0) // locate = 0 → sf absent from paragraph
+      .select("url", "para_idx", "uri", "sf", "offset")
+  }
+
   // ---- AIDA / CoNLL-YAGO ---------------------------------------------------
 
   /** The AIDA corpus NIL marker (eval/.../corpus/AidaCorpus.scala:78). */

@@ -81,6 +81,41 @@ object CorpusFixtures {
     "government",
     ".")
 
+  /** MilneWitten-format documents: paragraphs carrying 2- and 3-field
+   *  `[[uri|sf|confidence]]` links. */
+  val milneWittenDocs: Seq[(String, Seq[String])] = Seq(
+    ("Doc One", Seq(
+      "The [[European_Union|EU|0.9]] met in [[Brussels]] today.",
+      "No links in this paragraph.")),
+    ("Doc Two", Seq(
+      "[[Jimi_Hendrix|Hendrix]] played his [[Electric_guitar|guitar|0.4]].")))
+
+  /** KBP-format fixture: queries XML + answers tab + KB XML + source
+   *  paragraphs (one newswire-style doc). */
+  val kbpQueriesXml: String =
+    """<?xml version="1.0" encoding="UTF8"?>
+      |<kbpentlink>
+      |  <query id="EL1"><name>Mercury</name><docid>DOC_A</docid></query>
+      |  <query id="EL2"><name>Hendrix</name><docid>DOC_A</docid></query>
+      |  <query id="EL3"><name>Nowhere</name><docid>DOC_A</docid></query>
+      |</kbpentlink>""".stripMargin
+
+  val kbpAnswerLines: Seq[String] = Seq(
+    "EL1\tE7", "EL2\tNIL0001", "EL3\tE9")
+
+  val kbpKbXml: String =
+    """<knowledge_base>
+      |  <entity id="E7" wiki_title="Mercury (planet)"/>
+      |  <entity id="E9" wiki_title="Nowhere Town"/>
+      |</knowledge_base>""".stripMargin
+
+  val kbpSgm: String =
+    """<DOC><DOCID>DOC_A</DOCID><BODY><TEXT>
+      |<P>Mercury is the
+      |closest planet.</P>
+      |<P>Hendrix played in London while Mercury rose.</P>
+      |</TEXT></BODY></DOC>""".stripMargin
+
   /** CSAW-format annotation XML + matching raw document texts. */
   val csawDocs: Seq[(String, String)] = Seq(
     ("doc_alpha.txt", "The European Union met in Brussels today."),

@@ -181,6 +181,53 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(rows.count(_._2 == Corpora.ConllNilUri) === 1)
   }
 
+  // ---- MilneWitten corpus reader -------------------------------------------
+
+  test("MilneWitten reader: 2/3-field links, confidence, clean-text offsets") {
+    val (gold, text) = Corpora.fromMilneWittenParagraphs(
+      spark, CorpusFixtures.milneWittenDocs)
+    val texts = text.collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getString(2))).toMap
+    assert(texts(("Doc One", 1)) === "The EU met in Brussels today.")
+    assert(texts(("Doc Two", 1)) === "Hendrix played his guitar.")
+    val rows = gold.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getInt(4), r.getDouble(5)))
+    assert(rows.length === 4)
+    // offsets anchor the surface form in the CLEAN text
+    rows.foreach { case (url, idx, _, sf, off, _) =>
+      assert(texts((url, idx)).substring(off, off + sf.length) === sf)
+    }
+    // 3-field confidence kept; 2-field defaults to 1.0; sf defaults to uri
+    assert(rows.exists { case (_, _, uri, sf, _, conf) =>
+      uri == "European_Union" && sf == "EU" && conf == 0.9 })
+    assert(rows.exists { case (_, _, uri, sf, _, conf) =>
+      uri == "Brussels" && sf == "Brussels" && conf == 1.0 })
+    assert(rows.exists { case (_, _, uri, _, _, conf) =>
+      uri == "Electric_guitar" && conf == 0.4 })
+  }
+
+  // ---- KBP corpus reader ---------------------------------------------------
+
+  test("KBP reader: queries x answers x KB join, NIL dropped, paragraph anchoring") {
+    import spark.implicits._
+    val kb = Corpora.kbpKbFromXml(spark, CorpusFixtures.kbpKbXml)
+    assert(kb.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("E7", "Mercury_(planet)"), ("E9", "Nowhere_Town")))
+    val paras = Corpora.kbpSgmParagraphs(CorpusFixtures.kbpSgm)
+      .zipWithIndex.map { case (p, i) => ("DOC_A", i + 1, p) }
+      .toDF("url", "para_idx", "para_text")
+    assert(paras.count() === 2)
+    val gold = Corpora.kbpGold(spark, CorpusFixtures.kbpQueriesXml,
+      CorpusFixtures.kbpAnswerLines, kb, paras)
+    val rows = gold.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getInt(4))).toSet
+    // EL2 is NIL (dropped); EL3's name appears in no paragraph; EL1
+    // anchors in BOTH paragraphs (newline collapsed to space in p1)
+    assert(rows === Set(
+      ("DOC_A", 1, "Mercury_(planet)", "Mercury", 0),
+      ("DOC_A", 2, "Mercury_(planet)", "Mercury", 31)))
+  }
+
   // ---- CSAW corpus reader --------------------------------------------------
 
   test("CSAW reader recovers surface forms relationally and drops unlinked mentions") {
