@@ -112,6 +112,17 @@ object PipelineQueries {
     "p_conll_gold" -> ((s, _) =>
       // AIDA/CoNLL corpus reader over the bundled fixture
       graft.eval.Corpora.fromConllLines(s, graft.eval.CorpusFixtures.conllLines)._1),
+    "p_predose_gold" -> ((s, _) =>
+      // PREDOSE corpus reader over the bundled fixture
+      graft.eval.Corpora.fromPredoseLines(
+        s, graft.eval.CorpusFixtures.predoseLines)._1),
+    "p_small_context" -> ((s, _) => {
+      // SmallContextOccurrences transform over the CoNLL fixture
+      val (g, t) = graft.eval.Corpora.fromConllLines(
+        s, graft.eval.CorpusFixtures.conllLines)
+      val (_, smallText) = graft.eval.Corpora.smallContext(s, g, t)
+      smallText
+    }),
     "p_milnewitten_gold" -> ((s, _) =>
       // MilneWitten corpus reader over the bundled fixture
       graft.eval.Corpora.fromMilneWittenParagraphs(

@@ -170,6 +170,69 @@ object Corpora {
       .select("url", "para_idx", "uri", "sf", "offset")
   }
 
+  // ---- PREDOSE -------------------------------------------------------------
+
+  private val PredoseOccLine = """^(\d+)\t(\d+)\t(.+?)\t(\S+)$""".r
+
+  /** PREDOSE corpus: a text line followed by `start \t end \t label \t
+   *  uri` occurrence lines, blank line between paragraphs
+   *  (eval/.../corpus/PredoseCorpus.scala:15-60; url is the reference's
+   *  name+text-hashCode id). */
+  def fromPredoseLines(spark: SparkSession, lines: Seq[String]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val docs = Vector.newBuilder[(String, String, Vector[(String, String, Int)])]
+    var id = ""; var text = ""; var occs = Vector.empty[(String, String, Int)]
+    def flush(): Unit = {
+      if (id.nonEmpty) docs += ((id, text, occs))
+      id = ""; text = ""; occs = Vector.empty
+    }
+    lines.foreach {
+      case "" => flush()
+      case PredoseOccLine(start, _, label, uri) =>
+        occs :+= ((uri, label, start.toInt))
+      case line =>
+        id = "PREDOSE" + line.hashCode.toString; text = line
+    }
+    flush()
+    val parsed = docs.result()
+    val gold = parsed.flatMap { case (u, _, os) =>
+      os.map { case (uri, sf, off) => (u, 1, uri, sf, off) }
+    }.toDF("url", "para_idx", "uri", "sf", "offset")
+    val textDf = parsed.map { case (u, t, _) => (u, 1, t) }
+      .toDF("url", "para_idx", "para_text")
+    (gold, textDf)
+  }
+
+  // ---- small-context transform ---------------------------------------------
+
+  /**
+   * SmallContextOccurrences: rewrite ANY gold corpus so each occurrence
+   * gets its own ~10-word-either-side context paragraph
+   * (eval/.../corpus/SmallContextOccurrencesCorpus.scala:18-31, same
+   * split arithmetic). Differences from the reference, both deliberate:
+   * the derived url appends the offset as well as the uri (the
+   * reference's id+uri collides when a uri occurs twice), and the gold
+   * offset is RECOMPUTED against the small context (the reference keeps
+   * the original-text offset, which no longer indexes the emitted
+   * paragraph — its eval never reads it back).
+   */
+  def smallContext(spark: SparkSession, gold: DataFrame,
+                   text: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val joined = gold.join(text, Seq("url", "para_idx"))
+      .select("url", "para_idx", "uri", "sf", "offset", "para_text")
+      .as[(String, Int, String, String, Int, String)]
+    val rows = joined.map { case (url, idx, uri, sf, off, t) =>
+      val (l, r) = t.splitAt(off)
+      val left = l.split(" ").takeRight(10).mkString(" ")
+      val leftCtx = if (left.isEmpty) "" else left + " "
+      val small = leftCtx + r.split(" ", 12).take(11).mkString(" ")
+      (s"$url-$uri-$off", idx, uri, sf, leftCtx.length, small)
+    }.toDF("url", "para_idx", "uri", "sf", "offset", "para_text").cache()
+    (rows.select("url", "para_idx", "uri", "sf", "offset"),
+      rows.select("url", "para_idx", "para_text"))
+  }
+
   // ---- AIDA / CoNLL-YAGO ---------------------------------------------------
 
   /** The AIDA corpus NIL marker (eval/.../corpus/AidaCorpus.scala:78). */

@@ -116,6 +116,16 @@ object CorpusFixtures {
       |<P>Hendrix played in London while Mercury rose.</P>
       |</TEXT></BODY></DOC>""".stripMargin
 
+  /** PREDOSE-format lines: text line + `start \t end \t label \t uri`
+   *  occurrence lines, blank-line-separated paragraphs. */
+  val predoseLines: Seq[String] = Seq(
+    "You did take klonopin and oxycodone at some dose.",
+    "13\t21\tklonopin\thttp://dbpedia.org/resource/Clonazepam",
+    "26\t35\toxycodone\thttp://dbpedia.org/resource/Oxycodone",
+    "",
+    "The reason is unclear.",
+    "4\t10\treason\thttp://knoesis.org/ontology/predose#reason")
+
   /** CSAW-format annotation XML + matching raw document texts. */
   val csawDocs: Seq[(String, String)] = Seq(
     ("doc_alpha.txt", "The European Union met in Brussels today."),

@@ -228,6 +228,47 @@ class Round2FeaturesSpec extends AnyFunSuite {
       ("DOC_A", 2, "Mercury_(planet)", "Mercury", 31)))
   }
 
+  // ---- PREDOSE corpus reader -----------------------------------------------
+
+  test("PREDOSE reader: tab-occurrence lines anchored in the text line") {
+    val (gold, text) = Corpora.fromPredoseLines(spark, CorpusFixtures.predoseLines)
+    val texts = text.collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(texts.size === 2)
+    val rows = gold.collect().map(r =>
+      (r.getString(0), r.getString(2), r.getString(3), r.getInt(4)))
+    assert(rows.length === 3)
+    rows.foreach { case (url, _, sf, off) =>
+      assert(texts(url).substring(off, off + sf.length) === sf)
+    }
+    assert(rows.exists { case (_, uri, sf, _) =>
+      uri == "http://dbpedia.org/resource/Oxycodone" && sf == "oxycodone" })
+  }
+
+  // ---- small-context transform ---------------------------------------------
+
+  test("small-context transform emits one anchored mini-paragraph per occurrence") {
+    import spark.implicits._
+    val text = Seq(("d1", 1,
+      "one two three four five six seven eight nine ten eleven TARGET after1 after2 " +
+        ("w " * 20).trim)).toDF("url", "para_idx", "para_text")
+    val gold = Seq(("d1", 1, "Target_Uri", "TARGET",
+      "one two three four five six seven eight nine ten eleven ".length))
+      .toDF("url", "para_idx", "uri", "sf", "offset")
+    val (g2, t2) = Corpora.smallContext(spark, gold, text)
+    val trow = t2.head()
+    val grow = g2.head()
+    val small = trow.getString(2)
+    // 10 words left kept, "one" dropped (it was the 11th-left word)
+    assert(small.startsWith("two three"), small)
+    assert(!small.contains("one two"), small)
+    // right side truncated to 11 space-words
+    assert(small.split(" ").length <= 21, small)
+    // recomputed offset anchors the sf in the SMALL context
+    val off = grow.getInt(4)
+    assert(small.substring(off, off + "TARGET".length) === "TARGET")
+    assert(grow.getString(0) === s"d1-Target_Uri-${gold.head().getInt(4)}")
+  }
+
   // ---- CSAW corpus reader --------------------------------------------------
 
   test("CSAW reader recovers surface forms relationally and drops unlinked mentions") {
