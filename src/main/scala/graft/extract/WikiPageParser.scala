@@ -28,6 +28,14 @@ object WikiPageParser {
   private val NonMainPrefixes =
     Set("category", "file", "image", "wikipedia", "template", "help", "talk", "user", "portal")
 
+  /** Link-target segment before the first `|`. `"|".split('|')` is an
+   *  EMPTY array in Scala/Java — a bare `[[|]]` in crawl garbage made a
+   *  naive `.head` throw and would kill the whole job (RobustnessSpec). */
+  private def firstSegment(inner: String): String = {
+    val i = inner.indexOf('|')
+    if (i < 0) inner else inner.substring(0, i)
+  }
+
   final case class Link(uri: String, sf: String, offset: Int)
   final case class Paragraph(text: String, links: List[Link])
 
@@ -37,7 +45,8 @@ object WikiPageParser {
   /** Redirect target title of a `#REDIRECT [[X]]` page, if any. */
   def redirectTarget(source: String): Option[String] =
     if (!isRedirect(source)) None
-    else LinkRe.findFirstMatchIn(source).map(m => TextUtil.wikiEncode(m.group(1).split('|').head))
+    else LinkRe.findFirstMatchIn(source)
+      .map(m => TextUtil.wikiEncode(firstSegment(m.group(1))))
 
   def isDisambiguation(source: String, title: String): Boolean =
     title.endsWith("(disambiguation)") ||
@@ -57,7 +66,7 @@ object WikiPageParser {
     for (m <- LinkRe.findAllMatchIn(para)) {
       sb.append(para.substring(pos, m.start))
       val inner = m.group(1)
-      val dest = inner.split('|').head
+      val dest = firstSegment(inner)
       val offset = sb.length
       // label = segment after the LAST pipe (stripMultiPipe), then cleanup
       var sf = WikiMarkup.stripMultiPipe(inner)
