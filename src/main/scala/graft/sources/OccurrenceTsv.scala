@@ -24,13 +24,17 @@ object OccurrenceTsv {
       .schema(schema)
       .csv(path)
 
-  /** Parse in-memory TSV lines (test fixtures / golden corpora). */
+  /** Parse in-memory TSV lines (test fixtures / golden corpora).
+   *  Malformed records (short lines, non-numeric offsets) are dropped,
+   *  not thrown — one bad row must not fail a corpus read. */
   def fromStrings(spark: SparkSession, lines: Seq[String]): DataFrame = {
     import spark.implicits._
     spark.createDataset(lines)
-      .map { l =>
+      .flatMap { l =>
         val f = l.split("\t", -1)
-        (f(0), f(1), f(2), f(3), f(4).trim.toInt, if (f.length > 5) f(5) else null)
+        if (f.length < 5) None
+        else f(4).trim.toIntOption.map(off =>
+          (f(0), f(1), f(2), f(3), off, if (f.length > 5) f(5) else null))
       }
       .toDF("id", "uri", "sf", "context", "offset", "types")
   }

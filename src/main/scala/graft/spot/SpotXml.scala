@@ -19,8 +19,10 @@ object SpotXml {
 
   def parse(xml: String): Seq[ParsedSpot] = {
     val text = TextRe.findFirstMatchIn(xml).map(m => unescape(m.group(1))).getOrElse("")
-    SfRe.findAllMatchIn(xml).map { m =>
-      ParsedSpot(text, unescape(m.group(1)), m.group(2).toInt)
+    SfRe.findAllMatchIn(xml).flatMap { m =>
+      // \d+ admits digit runs beyond Int.MaxValue; a malformed request
+      // must drop the spot, not throw NumberFormatException
+      m.group(2).toIntOption.map(off => ParsedSpot(text, unescape(m.group(1)), off))
     }.toSeq
   }
 
