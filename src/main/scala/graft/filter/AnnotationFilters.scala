@@ -43,6 +43,12 @@ object AnnotationFilters {
     if (row.isNullAt(0)) Nil else row.getSeq[Double](0)
   }
 
+  /** F1-variant ContextualScoreFilter
+   *  (filter/annotations/ContextualScoreFilter.scala:24-35): fixed
+   *  threshold on the softmax-normalized contextual score. */
+  def contextualScore(df: DataFrame, threshold: Double): DataFrame =
+    df.filter(col("contextual_score") >= threshold)
+
   /** F2 PercentageOfSecondFilter (ConfidenceFilter.scala:26-45):
    *  drop if pctSecond > 1 − confidence². */
   def percentageOfSecond(df: DataFrame, conf: Double): DataFrame =

@@ -158,6 +158,15 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(AnnotationFilters.confidence(best, Nil, conf = 0.5).count() === 100)
   }
 
+  test("contextual-score filter thresholds on contextual_score") {
+    import spark.implicits._
+    val df = Seq(("A", 0.8), ("B", 0.3), ("C", 0.55))
+      .toDF("uri", "contextual_score")
+    val kept = AnnotationFilters.contextualScore(df, 0.5)
+      .select("uri").as[String].collect().toSet
+    assert(kept === Set("A", "C"))
+  }
+
   // ---- AIDA / CoNLL corpus reader -----------------------------------------
 
   test("CoNLL reader: offsets index the reconstructed text, NIL kept, punctuation reattached") {
