@@ -205,6 +205,14 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))),
 
+    // C5-family: exact + approximate distinct counts (ambiguity-count
+    // shape; the HLL column is rows-only in spirit but deterministic for
+    // a fixed input, and the exact column is the oracle anchor)
+    "r_distinct_users" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type").agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n"))),
+
     // R1-family: ntile quantile bucketing (the threshold-training shape:
     // rank rows into k equal buckets per partition)
     "r_ntile" -> ((s, d) => {
@@ -307,6 +315,9 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "r_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+         FROM events GROUP BY event_type""",
     "r_ntile" ->
       """SELECT event_type, quartile, count(*) AS n,
                 CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q_max
