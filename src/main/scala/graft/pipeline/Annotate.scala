@@ -107,6 +107,43 @@ object Annotate {
     scoredFromGated(spark, m, Spotter.gatedSpots(raw, m.surfaceForms), cfg)
   }
 
+  /**
+   * D1 MAX_CONTEXT (= 250, DBTwoStepDisambiguator.scala:71): the
+   * reference slices a paragraph whose token stream exceeds the cap
+   * into ~250-token windows and disambiguates each occurrence against
+   * its own window's tokens (bestK:89-117). The Spark-native
+   * equivalent: RE-PARAGRAPH oversized texts into token windows before
+   * scoring — every downstream stage is keyed per (url, para_idx), so
+   * window-local scoring falls out with no change to the dataflow.
+   * Paragraphs at or under the cap pass through untouched (which covers
+   * every bundled corpus — behavior change applies only to oversized
+   * crawl text, where it bounds the context join: without the cap a
+   * megabyte-long spam paragraph multiplies its full token histogram
+   * into EVERY candidate of every spot it contains).
+   *
+   * Window para_idx = original·1000 + window (1-based); window texts
+   * are contiguous substrings whose concatenation is the original, so
+   * offsets stay window-relative and anchored.
+   */
+  def windowParagraphs(paragraphs: Dataset[ParagraphRow],
+                       maxTokens: Int = 250): Dataset[ParagraphRow] = {
+    val spark = paragraphs.sparkSession
+    import spark.implicits._
+    paragraphs.flatMap { p =>
+      val toks = graft.util.TextUtil.tokenize(p.para_text)
+      if (toks.length <= maxTokens) Iterator.single(p)
+      else {
+        val starts = toks.grouped(maxTokens).map(_.head.offset).toArray
+        starts(0) = 0
+        val ends = starts.drop(1) :+ p.para_text.length
+        starts.indices.iterator.map { w =>
+          ParagraphRow(p.url, p.para_idx * 1000 + w + 1,
+            p.para_text.substring(starts(w), ends(w)))
+        }
+      }
+    }
+  }
+
   /** The served-request path: annotate an ARBITRARY paragraph set against
    *  a built model (the reference's SpotlightInterface.annotate on posted
    *  text, rest/.../SpotlightInterface.java:120-160 — spot, gate,
@@ -114,15 +151,17 @@ object Annotate {
    *  request at a time). Used by the gold-corpus eval path. */
   def scoredOn(spark: SparkSession, m: Model, paragraphs: Dataset[ParagraphRow],
                cfg: Disambiguator.Config = Disambiguator.Config(),
-               automaton: Option[org.apache.spark.broadcast.Broadcast[graft.spot.AhoCorasick]] = None)
+               automaton: Option[org.apache.spark.broadcast.Broadcast[graft.spot.AhoCorasick]] = None,
+               maxContextTokens: Int = 250)
       : DataFrame = {
     // callers annotating repeatedly (streaming micro-batches) pass the
     // prebuilt broadcast so the driver-side automaton build runs once
     val bc = automaton.getOrElse(
       spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms)))
-    val gated = Spotter.gatedSpots(Spotter.spots(paragraphs, bc), m.surfaceForms)
+    val windowed = windowParagraphs(paragraphs, maxContextTokens)
+    val gated = Spotter.gatedSpots(Spotter.spots(windowed, bc), m.surfaceForms)
     val spotCands = Disambiguator.spotCandidates(gated, m.surfaceForms, m.candidates, cfg)
-    val docTokens = Disambiguator.docTokenHistogram(paragraphs, m.tokenTypes)
+    val docTokens = Disambiguator.docTokenHistogram(windowed, m.tokenTypes)
     Disambiguator.scored(spotCands, docTokens, m.entityContexts, m.resources, m.totals, cfg)
   }
 

@@ -424,6 +424,32 @@ class Round2FeaturesSpec extends AnyFunSuite {
     assert(viaSql === graft.functions.FnvFingerprint.hash("some text"))
   }
 
+  // ---- D1 MAX_CONTEXT window cap -------------------------------------------
+
+  test("oversized paragraphs split into token windows; small ones pass through") {
+    import spark.implicits._
+    val small = graft.model.ParagraphRow("u", 1, "a short paragraph")
+    val bigText = (1 to 600).map(i => s"tok$i").mkString(" ")
+    val big = graft.model.ParagraphRow("u", 2, bigText)
+    val out = graft.pipeline.Annotate.windowParagraphs(
+      Seq(small, big).toDS(), maxTokens = 250).collect().sortBy(_.para_idx)
+    // small paragraph untouched (identity below the cap)
+    assert(out.head === small)
+    val windows = out.filter(_.para_idx >= 2000)
+    assert(windows.map(_.para_idx).toSeq === Seq(2001, 2002, 2003))
+    // every window respects the token cap
+    windows.foreach(w =>
+      assert(graft.util.TextUtil.tokenize(w.para_text).length <= 250))
+    // windows are contiguous: concatenation reproduces the original text
+    assert(windows.map(_.para_text).mkString("") === bigText)
+    // full annotate over windowed garbage-sized text completes (cap wired
+    // into scoredOn)
+    val m = SparkEntry.model(spark)
+    val scored = graft.pipeline.Annotate.scoredOn(spark, m,
+      Seq(big.copy(para_text = bigText + " Mercury orbit telescope")).toDS())
+    scored.count(): Unit
+  }
+
   // ---- D10 custom scores ---------------------------------------------------
 
   test("custom-scores disambiguator ranks by the user score table, absent URIs 0.0") {
