@@ -112,6 +112,13 @@ object PipelineQueries {
     "p_conll_gold" -> ((s, _) =>
       // AIDA/CoNLL corpus reader over the bundled fixture
       graft.eval.Corpora.fromConllLines(s, graft.eval.CorpusFixtures.conllLines)._1),
+    "p_windowed_paras" -> ((s, _) => {
+      // D1 MAX_CONTEXT: deterministic 600-token paragraph → 3 windows
+      import s.implicits._
+      val big = graft.model.ParagraphRow(
+        "synthetic", 1, (1 to 600).map(i => s"tok$i").mkString(" "))
+      Annotate.windowParagraphs(Seq(big).toDS()).toDF()
+    }),
     "p_predose_gold" -> ((s, _) =>
       // PREDOSE corpus reader over the bundled fixture
       graft.eval.Corpora.fromPredoseLines(
