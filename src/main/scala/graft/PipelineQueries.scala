@@ -112,6 +112,15 @@ object PipelineQueries {
     "p_conll_gold" -> ((s, _) =>
       // AIDA/CoNLL corpus reader over the bundled fixture
       graft.eval.Corpora.fromConllLines(s, graft.eval.CorpusFixtures.conllLines)._1),
+    "p_overlap_resolved" -> ((s, _) =>
+      // P4 score-cascade overlap resolution over the gated spots
+      graft.spot.Spotter.resolveOverlaps(SparkEntry.gated(s))),
+    "p_random_disambig" -> ((s, _) => {
+      // D10 seeded random baseline (deterministic via fixed seed)
+      val mm = m(s)
+      val sc = Disambiguator.spotCandidates(SparkEntry.gated(s), mm.surfaceForms, mm.candidates)
+      Disambiguator.randomPick(sc, mm.resources, seed = 42L).drop("types")
+    }),
     "p_windowed_paras" -> ((s, _) => {
       // D1 MAX_CONTEXT: deterministic 600-token paragraph → 3 windows
       import s.implicits._
