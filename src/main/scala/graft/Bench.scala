@@ -34,10 +34,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     } + ("model_build" -> modelBuild)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Timings rounded to 3 decimals: at 76+ queries a full-double-precision
+    // line overran the driver's tail-capture window in round 2
+    // (BENCH_r02 parsed: null) — ~1.5 KB rounded fits any plausible window.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: a file copy in cwd, in case stdout is truncated.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
+    // The JSON line is the ABSOLUTE last stdout line (after spark.stop so
+    // no shutdown logging can land behind it in the driver's tail window).
+    println(line)
   }
 }

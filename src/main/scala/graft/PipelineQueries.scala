@@ -54,8 +54,8 @@ object PipelineQueries {
       val sc = Disambiguator.spotCandidates(SparkEntry.gated(s), mm.surfaceForms, mm.candidates)
       val docTokens = Disambiguator.docTokenHistogram(mm.paragraphs, mm.tokenTypes)
       val tficf = Disambiguator.tficfScores(
-        sc.select("url", "para_idx", "res_id").distinct(), docTokens, mm.entityContexts)
-      sc.join(tficf, Seq("url", "para_idx", "res_id"), "left")
+        sc.select("url", "para_idx", "win", "res_id").distinct(), docTokens, mm.entityContexts)
+      sc.join(tficf, Seq("url", "para_idx", "win", "res_id"), "left")
         .withColumn("tficf_score", round(coalesce(col("tficf_score"), lit(0.0)), 9))
         .withColumn("_rk", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -121,12 +121,19 @@ object PipelineQueries {
       val sc = Disambiguator.spotCandidates(SparkEntry.gated(s), mm.surfaceForms, mm.candidates)
       Disambiguator.randomPick(sc, mm.resources, seed = 42L).drop("types")
     }),
-    "p_windowed_paras" -> ((s, _) => {
-      // D1 MAX_CONTEXT: deterministic 600-token paragraph → 3 windows
+    "p_windowed_ctx" -> ((s, _) => {
+      // D1 MAX_CONTEXT: deterministic 600-token paragraph → 3 context
+      // windows (win = token index ÷ 250) with dictionary-encoded counts.
+      // Oracle-backed: DuckDB regenerates the token stream and window
+      // arithmetic from generate_series (see PipelineQueries.oracleSql).
       import s.implicits._
       val big = graft.model.ParagraphRow(
         "synthetic", 1, (1 to 600).map(i => s"tok$i").mkString(" "))
-      Annotate.windowParagraphs(Seq(big).toDS()).toDF()
+      val paras = Seq(big).toDS()
+      val dict = graft.modelbuild.ModelBuild.tokenTypes(
+        paras, s.emptyDataset[graft.model.SurfaceFormRow])
+      Disambiguator.docTokenHistogram(paras, dict)
+        .select("url", "para_idx", "win", "token_id", "q_cnt", "tok_count")
     }),
     "p_predose_gold" -> ((s, _) =>
       // PREDOSE corpus reader over the bundled fixture

@@ -43,21 +43,39 @@ object Disambiguator {
 
   // ---- paragraph token histogram (getQuery, DBTwoStepDisambiguator.scala:43-44)
 
-  /** (url, para_idx, token_id, q_cnt, tok_count): per-paragraph counts of
-   *  dictionary-encoded content tokens, with the token's corpus count
-   *  carried along for the language-model smoothing term. */
+  /** (url, para_idx, win, token_id, q_cnt, tok_count): per-window counts
+   *  of dictionary-encoded content tokens, with the token's corpus count
+   *  carried along for the language-model smoothing term.
+   *
+   *  `win` is the D1 MAX_CONTEXT window (token index ÷ maxContextTokens
+   *  over the FULL token stream, stopwords included — the same slicing
+   *  the reference applies before every bestK call,
+   *  DBTwoStepDisambiguator.scala:71,91-118). Every paragraph at or under
+   *  the cap is a single window 0; the cap exists so one megabyte-long
+   *  spam paragraph cannot multiply its full histogram into every
+   *  candidate of every spot it contains (the context join below is
+   *  per-(url, para_idx, win)). Spot rows carry the matching window index
+   *  from the same arithmetic ([[graft.util.TextUtil.windowStarts]]). */
   def docTokenHistogram(paragraphs: Dataset[ParagraphRow],
                         tokens: Dataset[TokenTypeRow],
-                        stem: TextUtil.Stemmer = TextUtil.IdentityStemmer): DataFrame = {
+                        stem: TextUtil.Stemmer = TextUtil.IdentityStemmer,
+                        maxContextTokens: Int = 250): DataFrame = {
     val spark = paragraphs.sparkSession
     import spark.implicits._
     paragraphs
-      .flatMap(p => TextUtil.contentTokens(p.para_text, stem).map(t => (p.url, p.para_idx, t)))
-      .toDF("url", "para_idx", "token")
-      .groupBy("url", "para_idx", "token")
+      .flatMap { p =>
+        val toks = TextUtil.tokenize(p.para_text)
+        toks.iterator.zipWithIndex.collect {
+          case (t, i) if !t.is_stop && TextUtil.isWordToken(t.token) =>
+            (p.url, p.para_idx, i / maxContextTokens,
+              stem(t.token.toLowerCase(java.util.Locale.ENGLISH)))
+        }
+      }
+      .toDF("url", "para_idx", "win", "token")
+      .groupBy("url", "para_idx", "win", "token")
       .agg(count(lit(1)).as("q_cnt"))
       .join(broadcast(tokens.toDF()), Seq("token"))
-      .select("url", "para_idx", "token_id", "q_cnt", "count")
+      .select("url", "para_idx", "win", "token_id", "q_cnt", "count")
       .withColumnRenamed("count", "tok_count")
   }
 
@@ -163,9 +181,11 @@ object Disambiguator {
    *   pLM = log(count(token)+1) − log(totalTokenCount + vocabSize)   [Laplace]
    *   score(res) = Σ_tokens log(q_cnt) + p         (−inf terms dropped)
    *
-   * Returns (url, para_idx, res_id, ctx_score).
+   * Returns (url, para_idx, win, res_id, ctx_score) — scores are
+   * per-window: a candidate surfacing in several windows of one oversized
+   * paragraph scores against each window's own histogram (MAX_CONTEXT).
    */
-  def contextScores(candRes: DataFrame, // distinct (url, para_idx, res_id)
+  def contextScores(candRes: DataFrame, // distinct (url, para_idx, win, res_id)
                     docTokens: DataFrame,
                     contexts: Dataset[EntityContextRow],
                     totals: ModelBuild.Totals,
@@ -174,7 +194,7 @@ object Disambiguator {
     val pLM = log(col("tok_count") + lit(1.0)) -
       log(lit((totals.totalTokenCount + totals.vocabularySize).toDouble))
     val joined = candRes
-      .join(docTokens, Seq("url", "para_idx"))
+      .join(docTokens, Seq("url", "para_idx", "win"))
       .join(contexts.toDF().withColumnRenamed("count", "ctx_cnt"), Seq("res_id", "token_id"), "left")
       .join(broadcast(resTokenTotals), Seq("res_id"), "left")
       .withColumn("pML",
@@ -188,11 +208,11 @@ object Disambiguator {
           logSum(log(lit(cfg.lambda)) + log(col("pML")), log(lit(1 - cfg.lambda)) + pLM))
           .otherwise(log(lit(1 - cfg.lambda)) + pLM))
       .withColumn("term", log(col("q_cnt").cast("double")) + col("p"))
-    joined.groupBy("url", "para_idx", "res_id")
+    joined.groupBy("url", "para_idx", "win", "res_id")
       .agg(sum("term").as("ctx_score"))
   }
 
-  /** NIL context score per paragraph: the same sum with pML = 0
+  /** NIL context score per context window: the same sum with pML = 0
    *  (GenerativeContextSimilarity.nilScore:74-78). */
   def nilContextScores(docTokens: DataFrame, totals: ModelBuild.Totals,
                        cfg: Config = Config()): DataFrame = {
@@ -200,7 +220,7 @@ object Disambiguator {
       log(lit((totals.totalTokenCount + totals.vocabularySize).toDouble))
     docTokens
       .withColumn("term", log(col("q_cnt").cast("double")) + log(lit(1 - cfg.lambda)) + pLM)
-      .groupBy("url", "para_idx")
+      .groupBy("url", "para_idx", "win")
       .agg(sum("term").as("nil_ctx_score"))
   }
 
@@ -220,7 +240,7 @@ object Disambiguator {
              res: Dataset[ResourceRow],
              totals: ModelBuild.Totals,
              cfg: Config = Config()): DataFrame = {
-    val candRes = spotCands.select("url", "para_idx", "res_id").distinct()
+    val candRes = spotCands.select("url", "para_idx", "win", "res_id").distinct()
     val ctx = contextScores(candRes, docTokens, contexts, totals, cfg)
     val nilCtx = nilContextScores(docTokens, totals, cfg)
 
@@ -229,10 +249,10 @@ object Disambiguator {
     val nilEntityScore = col("nil_ctx_score") + log(lit(1.0 / totals.totalAnnotated.toDouble))
 
     val base = spotCands
-      .join(ctx, Seq("url", "para_idx", "res_id"), "left")
+      .join(ctx, Seq("url", "para_idx", "win", "res_id"), "left")
       .withColumn("ctx_score", coalesce(col("ctx_score"), lit(0.0)))
       .join(broadcast(res.select("res_id", "uri", "support", "types")), Seq("res_id"))
-      .join(nilCtx, Seq("url", "para_idx"), "left")
+      .join(nilCtx, Seq("url", "para_idx", "win"), "left")
       .withColumn("nil_ctx_score", coalesce(col("nil_ctx_score"), lit(0.0)))
       .withColumn("nil_score", nilEntityScore)
       .withColumn("similarity", Mixtures.unweighted(pSgE, col("ctx_score"), pE))
@@ -293,28 +313,28 @@ object Disambiguator {
    * the surface form's candidate set) is [[icfScoped]] with
    * `scope = sf-id keys` instead of the paragraph keys.
    */
-  def tficfScores(candRes: DataFrame, // distinct (url, para_idx, res_id)
+  def tficfScores(candRes: DataFrame, // distinct (url, para_idx, win, res_id)
                   docTokens: DataFrame,
                   contexts: Dataset[EntityContextRow]): DataFrame = {
-    val nCand = candRes.groupBy("url", "para_idx")
+    val nCand = candRes.groupBy("url", "para_idx", "win")
       .agg(countDistinct("res_id").as("n_cand"))
     val joined = candRes
-      .join(docTokens, Seq("url", "para_idx"))
+      .join(docTokens, Seq("url", "para_idx", "win"))
       .join(contexts.toDF().withColumnRenamed("count", "tf"), Seq("res_id", "token_id"))
     val withIcf = joined
       .withColumn("n_cand_with_token",
         size(collect_set("res_id").over(
-          Window.partitionBy("url", "para_idx", "token_id"))))
-      .join(broadcast(nCand), Seq("url", "para_idx"))
+          Window.partitionBy("url", "para_idx", "win", "token_id"))))
+      .join(broadcast(nCand), Seq("url", "para_idx", "win"))
       .withColumn("icf",
         log(col("n_cand").cast("double") / col("n_cand_with_token")) + lit(1.0))
     val resTotals = contexts.groupBy("res_id").agg(sum("count").as("ctx_len"))
     withIcf
-      .groupBy("url", "para_idx", "res_id")
+      .groupBy("url", "para_idx", "win", "res_id")
       .agg(sum(col("q_cnt") * col("tf") * col("icf")).as("raw"))
       .join(broadcast(resTotals), Seq("res_id"))
       .withColumn("tficf_score", col("raw") / col("ctx_len"))
-      .select("url", "para_idx", "res_id", "tficf_score")
+      .select("url", "para_idx", "win", "res_id", "tficf_score")
   }
 
   /** D7 isf = log(maxSf/senseFreq)+1 scoped to an arbitrary key set
@@ -362,7 +382,10 @@ object Disambiguator {
                    uriScores: DataFrame, k: Int = 1): DataFrame =
     spotCands
       .join(broadcast(res.select("res_id", "uri", "support", "types")), Seq("res_id"))
-      .join(uriScores.select(col("uri"), col("score")), Seq("uri"), "left")
+      // aggregate the user-supplied table first: duplicate uri rows would
+      // fan out candidate rows into duplicate (url, para_idx, offset)
+      // results that survive the row_number top-k
+      .join(uriScores.groupBy("uri").agg(max("score").as("score")), Seq("uri"), "left")
       .withColumn("score", coalesce(col("score"), lit(0.0)))
       .withColumn("rank", row_number().over(
         Window.partitionBy("url", "para_idx", "offset")

@@ -63,10 +63,15 @@ object Corpora {
     WikiLink.findAllMatchIn(p).foreach { m =>
       sb.append(p.substring(last, m.start))
       val parts = m.group(1).split('|')
-      val sf = if (parts.length > 1) parts(1) else parts(0)
-      val conf = if (parts.length > 2) parts(2).toDouble else 1.0
-      links += ((parts(0), sf, conf, sb.length))
-      sb.append(sf): Unit
+      // degenerate links are dropped, not thrown on: "|".split('|') is an
+      // EMPTY array, and a malformed confidence field falls back to 1.0 —
+      // the drop-malformed-input policy of the other corpus readers
+      if (parts.nonEmpty && parts(0).nonEmpty) {
+        val sf = if (parts.length > 1 && parts(1).nonEmpty) parts(1) else parts(0)
+        val conf = if (parts.length > 2) parts(2).toDoubleOption.getOrElse(1.0) else 1.0
+        links += ((parts(0), sf, conf, sb.length))
+        sb.append(sf): Unit
+      }
       last = m.end
     }
     sb.append(p.substring(last))

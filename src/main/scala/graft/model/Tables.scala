@@ -79,13 +79,19 @@ final case class EntityContextRow(
     token_id: Int,
     count: Long)
 
-/** Output of the spotting stage (reference: SurfaceFormOccurrence.scala:19-23). */
+/** Output of the spotting stage (reference: SurfaceFormOccurrence.scala:19-23).
+ *  `win` is the spot's D1 MAX_CONTEXT window index — the ~250-token slice
+ *  of its paragraph whose token histogram scores it (reference
+ *  DBTwoStepDisambiguator.bestK:91-118 slices oversized contexts the same
+ *  way). 0 for every paragraph at or under the cap; offsets are ALWAYS
+ *  paragraph-original, windowing never rewrites keys. */
 final case class SpotRow(
     url: String,
     para_idx: Int,
     offset: Int,
     sf: String,
-    spot_prob: Double)
+    spot_prob: Double,
+    win: Int = 0)
 
 /** Final annotation (attribute set per rest/.../OutputManager.java:125-133). */
 final case class AnnotationRow(

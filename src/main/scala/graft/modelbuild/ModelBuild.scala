@@ -90,6 +90,7 @@ object ModelBuild {
     var cur = edges.select(
       col("e_from").as("from"), col("e_to").as("to"),
       array(col("e_from"), col("e_to")).as("path"))
+    var prev: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 16) {
@@ -105,10 +106,19 @@ object ModelBuild {
           col("next").isNotNull.as("moved"))
         .cache()
       changed = stepped.filter(col("moved")).count()
+      // the new iterate is materialized: drop the previous one so repeated
+      // model builds in a long session don't accumulate ≤16 cached frames
+      if (prev != null) prev.unpersist()
+      prev = stepped
       cur = stepped.drop("moved")
       iter += 1
     }
-    cur.select(col("from"), col("to"))
+    // Truncate lineage (the final plan nests `iter` joins) and free the
+    // last iterate + the edges dim — callers cache the returned closure.
+    val out = cur.select(col("from"), col("to")).localCheckpoint(true)
+    if (prev != null) prev.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** Map a URI column through the redirect closure (left join + coalesce;
@@ -305,10 +315,15 @@ object ModelBuild {
 
   /** Occurrence dedup / corpus split (reference: index/.../lucene/index/
    *  SplitTrainTest.scala, io/DatasetSplitter.java) — hash-based so the
-   *  assignment is stable across runs and parallelism, unlike randomSplit. */
+   *  assignment is stable across runs and parallelism, unlike randomSplit.
+   *  The bucket hash is md5-derived (first 60 bits) rather than xxhash64:
+   *  equally uniform, but reproducible by any ANSI engine
+   *  (`('0x'||substring(md5(id),1,15))::BIGINT % buckets` in DuckDB), so
+   *  the split itself is oracle-checkable. */
   def hashSplit(df: DataFrame, idCol: String, testFraction: Double,
                 buckets: Int = 1000): (DataFrame, DataFrame) = {
-    val b = pmod(xxhash64(col(idCol)), lit(buckets.toLong))
+    val b = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
     val cut = (testFraction * buckets).toLong
     (df.filter(b >= cut), df.filter(b < cut))
   }

@@ -29,7 +29,12 @@ final case class Model(
     candidates: Dataset[CandidateRow],
     tokenTypes: Dataset[TokenTypeRow],
     entityContexts: Dataset[EntityContextRow],
-    totals: ModelBuild.Totals)
+    totals: ModelBuild.Totals,
+    // T3: the stemmer the model was BUILT with — annotate-time
+    // tokenization must use the same one or token ids won't line up
+    // (reference threads one Stemmer from CreateSpotlightModel through
+    // both index build and request tokenization, :223-224)
+    stemmer: graft.util.TextUtil.Stemmer = graft.util.TextUtil.IdentityStemmer)
 
 object Annotate {
 
@@ -40,7 +45,8 @@ object Annotate {
                  redirectsNt: Seq[String],
                  disambiguationsNt: Seq[String],
                  instanceTypesNt: Seq[String],
-                 withTotalCounts: Boolean = true): Model = {
+                 withTotalCounts: Boolean = true,
+                 stemmer: graft.util.TextUtil.Stemmer = graft.util.TextUtil.IdentityStemmer): Model = {
     import spark.implicits._
     val ns = "http://dbpedia.org/resource/"
 
@@ -90,88 +96,76 @@ object Annotate {
 
     val resources = ModelBuild.resources(resolved, instanceTypes).cache()
     val candidates = ModelBuild.candidates(resolved, sfs, resources).cache()
-    val tokenTypes = ModelBuild.tokenTypes(paragraphs, sfs).cache()
-    val entityContexts = ModelBuild.entityContexts(resolved, resources, tokenTypes).cache()
+    val tokenTypes = ModelBuild.tokenTypes(paragraphs, sfs, stemmer).cache()
+    val entityContexts = ModelBuild.entityContexts(resolved, resources, tokenTypes,
+      stem = stemmer).cache()
     val totals = ModelBuild.totals(sfs, resources, tokenTypes)
 
     Model(paragraphs, occurrences, closure, sfs, resources, candidates,
-      tokenTypes, entityContexts, totals)
-  }
-
-  /** The annotate path over the model's own paragraphs (or any other
-   *  paragraph set): spots → candidates → scored. */
-  def scored(spark: SparkSession, m: Model,
-             cfg: Disambiguator.Config = Disambiguator.Config()): DataFrame = {
-    val bc = spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms))
-    val raw = Spotter.spots(m.paragraphs, bc)
-    scoredFromGated(spark, m, Spotter.gatedSpots(raw, m.surfaceForms), cfg)
+      tokenTypes, entityContexts, totals, stemmer)
   }
 
   /**
    * D1 MAX_CONTEXT (= 250, DBTwoStepDisambiguator.scala:71): the
-   * reference slices a paragraph whose token stream exceeds the cap
-   * into ~250-token windows and disambiguates each occurrence against
-   * its own window's tokens (bestK:89-117). The Spark-native
-   * equivalent: RE-PARAGRAPH oversized texts into token windows before
-   * scoring — every downstream stage is keyed per (url, para_idx), so
-   * window-local scoring falls out with no change to the dataflow.
-   * Paragraphs at or under the cap pass through untouched (which covers
-   * every bundled corpus — behavior change applies only to oversized
-   * crawl text, where it bounds the context join: without the cap a
-   * megabyte-long spam paragraph multiplies its full token histogram
-   * into EVERY candidate of every spot it contains).
-   *
-   * Window para_idx = original·1000 + window (1-based); window texts
-   * are contiguous substrings whose concatenation is the original, so
-   * offsets stay window-relative and anchored.
+   * reference slices a paragraph whose token stream exceeds the cap into
+   * ~250-token windows and disambiguates each occurrence against its own
+   * window's tokens (bestK:89-117), WITHOUT rewriting offsets. The
+   * Spark-native equivalent: spots carry a `win` index assigned in the
+   * spotting map pass ([[Spotter.spots]]), the token histogram is keyed
+   * per (url, para_idx, win) ([[Disambiguator.docTokenHistogram]]), and
+   * the context join matches them — so a megabyte-long spam paragraph
+   * cannot multiply its full histogram into every candidate of every
+   * spot it contains, while every emitted annotation keeps its ORIGINAL
+   * (url, para_idx, offset) key (round-2 advice: the previous
+   * re-paragraphing approach leaked synthetic keys to eval joins).
+   * Paragraphs at or under the cap are a single window — behavior is
+   * byte-identical for every bundled corpus.
    */
-  def windowParagraphs(paragraphs: Dataset[ParagraphRow],
-                       maxTokens: Int = 250): Dataset[ParagraphRow] = {
-    val spark = paragraphs.sparkSession
-    import spark.implicits._
-    paragraphs.flatMap { p =>
-      val toks = graft.util.TextUtil.tokenize(p.para_text)
-      if (toks.length <= maxTokens) Iterator.single(p)
-      else {
-        val starts = toks.grouped(maxTokens).map(_.head.offset).toArray
-        starts(0) = 0
-        val ends = starts.drop(1) :+ p.para_text.length
-        starts.indices.iterator.map { w =>
-          ParagraphRow(p.url, p.para_idx * 1000 + w + 1,
-            p.para_text.substring(starts(w), ends(w)))
-        }
-      }
-    }
+  val MaxContextTokens = 250
+
+  /** The annotate path over the model's own paragraphs (or any other
+   *  paragraph set): spots → candidates → scored, MAX_CONTEXT-capped. */
+  def scored(spark: SparkSession, m: Model,
+             cfg: Disambiguator.Config = Disambiguator.Config(),
+             maxContextTokens: Int = MaxContextTokens): DataFrame = {
+    val bc = spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms))
+    val raw = Spotter.spots(m.paragraphs, bc, maxContextTokens)
+    scoredFromGated(spark, m, Spotter.gatedSpots(raw, m.surfaceForms), cfg, maxContextTokens)
   }
 
   /** The served-request path: annotate an ARBITRARY paragraph set against
    *  a built model (the reference's SpotlightInterface.annotate on posted
    *  text, rest/.../SpotlightInterface.java:120-160 — spot, gate,
    *  candidates, score — but batched over a Dataset instead of one
-   *  request at a time). Used by the gold-corpus eval path. */
+   *  request at a time). Used by the gold-corpus eval path; annotations
+   *  come back under the caller's own (url, para_idx, offset) keys. */
   def scoredOn(spark: SparkSession, m: Model, paragraphs: Dataset[ParagraphRow],
                cfg: Disambiguator.Config = Disambiguator.Config(),
                automaton: Option[org.apache.spark.broadcast.Broadcast[graft.spot.AhoCorasick]] = None,
-               maxContextTokens: Int = 250)
+               maxContextTokens: Int = MaxContextTokens)
       : DataFrame = {
     // callers annotating repeatedly (streaming micro-batches) pass the
     // prebuilt broadcast so the driver-side automaton build runs once
     val bc = automaton.getOrElse(
       spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms)))
-    val windowed = windowParagraphs(paragraphs, maxContextTokens)
-    val gated = Spotter.gatedSpots(Spotter.spots(windowed, bc), m.surfaceForms)
+    val gated = Spotter.gatedSpots(Spotter.spots(paragraphs, bc, maxContextTokens), m.surfaceForms)
     val spotCands = Disambiguator.spotCandidates(gated, m.surfaceForms, m.candidates, cfg)
-    val docTokens = Disambiguator.docTokenHistogram(windowed, m.tokenTypes)
+    val docTokens = Disambiguator.docTokenHistogram(paragraphs, m.tokenTypes,
+      m.stemmer, maxContextTokens)
     Disambiguator.scored(spotCands, docTokens, m.entityContexts, m.resources, m.totals, cfg)
   }
 
   /** Same, from an already-computed (possibly cached) gated-spots table —
    *  avoids rebuilding/broadcasting the automaton and re-running the
-   *  spot stage when the caller holds it. */
+   *  spot stage when the caller holds it. The gated spots must carry the
+   *  `win` column produced by [[Spotter.spots]] with the SAME
+   *  maxContextTokens (both default to [[MaxContextTokens]]). */
   def scoredFromGated(spark: SparkSession, m: Model, gated: DataFrame,
-                      cfg: Disambiguator.Config = Disambiguator.Config()): DataFrame = {
+                      cfg: Disambiguator.Config = Disambiguator.Config(),
+                      maxContextTokens: Int = MaxContextTokens): DataFrame = {
     val spotCands = Disambiguator.spotCandidates(gated, m.surfaceForms, m.candidates, cfg)
-    val docTokens = Disambiguator.docTokenHistogram(m.paragraphs, m.tokenTypes)
+    val docTokens = Disambiguator.docTokenHistogram(m.paragraphs, m.tokenTypes,
+      m.stemmer, maxContextTokens)
     Disambiguator.scored(spotCands, docTokens, m.entityContexts, m.resources, m.totals, cfg)
   }
 

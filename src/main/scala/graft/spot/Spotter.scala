@@ -43,16 +43,32 @@ object Spotter {
                             total: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(total <= 0L, lit(1.0)).otherwise(annotated.cast("double") / total.cast("double"))
 
-  /** Non-overlapping, word-aligned, leftmost-longest spots per paragraph. */
-  def spots(paragraphs: Dataset[ParagraphRow], bc: Broadcast[AhoCorasick]): Dataset[SpotRow] = {
+  /** Non-overlapping, word-aligned, leftmost-longest spots per paragraph.
+   *  Each spot is tagged with its MAX_CONTEXT window index (`win`) in the
+   *  same map pass — offsets stay paragraph-original; only the scoring
+   *  context is windowed downstream (reference
+   *  DBTwoStepDisambiguator.scala:71,91-118). The tokenize pass for the
+   *  window starts runs only for paragraphs that can exceed the cap
+   *  (length > maxContextTokens chars — a token is ≥1 char). */
+  def spots(paragraphs: Dataset[ParagraphRow], bc: Broadcast[AhoCorasick],
+            maxContextTokens: Int = 250): Dataset[SpotRow] = {
     val spark = paragraphs.sparkSession
     import spark.implicits._
     paragraphs.mapPartitions { it =>
       val ac = bc.value
       it.flatMap { p =>
-        ac.findNonOverlapping(p.para_text).iterator.map { m =>
-          SpotRow(p.url, p.para_idx, m.start,
-            p.para_text.substring(m.start, m.end), 0.0)
+        val ms = ac.findNonOverlapping(p.para_text)
+        if (ms.isEmpty) Iterator.empty
+        else {
+          val starts =
+            if (p.para_text.length <= maxContextTokens) graft.util.TextUtil.SingleWindow
+            else graft.util.TextUtil.windowStarts(
+              graft.util.TextUtil.tokenize(p.para_text), maxContextTokens)
+          ms.iterator.map { m =>
+            SpotRow(p.url, p.para_idx, m.start,
+              p.para_text.substring(m.start, m.end), 0.0,
+              if (starts.length == 1) 0 else graft.util.TextUtil.windowOf(starts, m.start))
+          }
         }
       }
     }
@@ -70,7 +86,7 @@ object Spotter {
       .withColumn("spot_prob",
         annotationProbability(col("annotated_count"), col("total_count")))
       .filter(col("spot_prob") >= threshold)
-      .select("url", "para_idx", "offset", "sf", "spot_prob")
+      .select("url", "para_idx", "offset", "sf", "spot_prob", "win")
 
   /** P4 weighted spot score: feature vector · weights
    *  (DBSpotter.spotFeatures, db/DBSpotter.scala:184-197) with features
@@ -109,7 +125,7 @@ object Spotter {
       .join(broadcast(sfs.select(col("sf"), col("annotated_count"), col("total_count"))), Seq("sf"))
       .withColumn("spot_prob", weightedSpotScore(weights))
       .filter(col("spot_prob") >= threshold)
-      .select("url", "para_idx", "offset", "sf", "spot_prob")
+      .select("url", "para_idx", "offset", "sf", "spot_prob", "win")
 
   /** A1 total counts: word-aligned overlap-mode match counts of every
    *  dictionary surface form over all paragraph text (the raw-string
@@ -159,12 +175,15 @@ object Spotter {
   def resolveOverlaps(spots: DataFrame, typeOrder: Seq[String] = Nil): DataFrame = {
     val spark = spots.sparkSession
     import spark.implicits._
-    val withType =
+    val withType0 =
       if (spots.columns.contains("spot_type")) spots
       else spots.withColumn("spot_type", lit(""))
+    val withType =
+      if (withType0.columns.contains("win")) withType0
+      else withType0.withColumn("win", lit(0))
     withType
-      .select($"url", $"para_idx", $"offset", $"sf", $"spot_prob", $"spot_type")
-      .as[(String, Int, Int, String, Double, String)]
+      .select($"url", $"para_idx", $"offset", $"sf", $"spot_prob", $"spot_type", $"win")
+      .as[(String, Int, Int, String, Double, String, Int)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
         val sorted = it.toArray.distinct.sortBy(s => (s._3, s._4.length))
@@ -190,7 +209,7 @@ object Spotter {
         }
         sorted.iterator.zipWithIndex.collect { case (s, j) if !removed(j) => s }
       }
-      .toDF("url", "para_idx", "offset", "sf", "spot_prob", "spot_type")
+      .toDF("url", "para_idx", "offset", "sf", "spot_prob", "spot_type", "win")
   }
 
   /** P12: uppercase-sequence spans `([A-Z][^ ,!?.:;]*[ ]?)+`

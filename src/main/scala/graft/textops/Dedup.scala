@@ -22,24 +22,53 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.textops.Dedup")
 
+  // one listener per session; names made unique per boundBuckets call
+  private val observedSessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Log oversized-bucket drops AFTER the job that computed them runs —
+   *  via `observe` metrics + a QueryExecutionListener, so the report
+   *  costs no eager driver-side job at plan-construction time (the
+   *  round-2 `head()` version added 0.5-1.5 s per LSH query). */
+  private def ensureDropListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (observedSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_lsh_") && row.getAs[Long]("dropped_buckets") > 0L)
+              log.warn(s"$name: dropped ${row.getAs[Long]("dropped_buckets")} oversized " +
+                s"LSH buckets (largest=${row.getAs[Long]("largest_bucket")} rows)")
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
+
   /**
    * Bound LSH bucket fan-out before a pair join: a degenerate bucket
    * (empty docs, shared boilerplate) makes the within-bucket pair join
    * quadratic inside ONE task at scale. Buckets larger than
    * `maxBucketSize` are dropped from pair generation and their count is
-   * logged — no silent truncation (exact dedup upstream already
+   * reported — no silent truncation (exact dedup upstream already
    * collapses identical texts, so oversized buckets are
-   * boilerplate-dominated, not legitimate near-dup clusters).
+   * boilerplate-dominated, not legitimate near-dup clusters). The drop
+   * report rides the query itself as an observed metric (logged on job
+   * completion); both sides of the semi-join shuffle on `keys`, so the
+   * size aggregation reuses the probe side's exchange instead of a
+   * cached materialization.
    */
   private[textops] def boundBuckets(banded: DataFrame, keys: Seq[String],
                                     maxBucketSize: Int, what: String): DataFrame = {
+    ensureDropListener(banded.sparkSession)
     val sizes = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("_bsz")).cache()
-    val over = sizes.filter(col("_bsz") > maxBucketSize)
-      .agg(count(lit(1)).as("n"), coalesce(max("_bsz"), lit(0L)).as("mx")).head()
-    if (over.getLong(0) > 0)
-      log.warn(s"$what: dropped ${over.getLong(0)} oversized LSH buckets " +
-        s"(cap=$maxBucketSize, largest=${over.getLong(1)} rows)")
+      .agg(count(lit(1)).as("_bsz"))
+      .observe(s"graft_lsh_${what}_${obsCounter.incrementAndGet()}",
+        sum(when(col("_bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+        coalesce(max(col("_bsz")), lit(0L)).as("largest_bucket"))
     banded.join(sizes.filter(col("_bsz") <= maxBucketSize)
       .select(keys.map(col): _*), keys, "left_semi")
   }

@@ -117,4 +117,32 @@ object TextUtil {
 
   def contentTokens(text: String): Array[String] =
     contentTokens(text, IdentityStemmer)
+
+  /** Shared single-window sentinel for texts that fit one context window. */
+  private[graft] val SingleWindow: Array[Int] = Array(0)
+
+  /** Char-offset starts of maxTokens-sized context windows over a token
+   *  stream (D1 MAX_CONTEXT = 250, reference DBTwoStepDisambiguator.scala:71):
+   *  window w starts at the offset of token w·maxTokens; the first start
+   *  is clamped to 0 so every char belongs to a window. Returns
+   *  [[SingleWindow]] when the text fits one window. */
+  def windowStarts(toks: Array[Tok], maxTokens: Int): Array[Int] =
+    if (toks.length <= maxTokens) SingleWindow
+    else {
+      val s = toks.grouped(maxTokens).map(_.head.offset).toArray
+      s(0) = 0
+      s
+    }
+
+  /** Window index of a char offset: the last window start ≤ offset
+   *  (binary search; starts is ascending with starts(0) = 0). */
+  def windowOf(starts: Array[Int], offset: Int): Int = {
+    var lo = 0
+    var hi = starts.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (starts(mid) <= offset) lo = mid else hi = mid - 1
+    }
+    lo
+  }
 }

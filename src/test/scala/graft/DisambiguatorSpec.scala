@@ -31,14 +31,14 @@ class DisambiguatorSpec extends AnyFunSuite {
     import spark.implicits._
     // paragraph with tokens: alpha ×2 (corpus count 10), beta ×1 (corpus 7)
     val docTokens = Seq(
-      ("u", 1, 1, 2L, 10L), ("u", 1, 2, 1L, 7L)
-    ).toDF("url", "para_idx", "token_id", "q_cnt", "tok_count")
-    val candRes = Seq(("u", 1, 1), ("u", 1, 2)).toDF("url", "para_idx", "res_id")
+      ("u", 1, 0, 1, 2L, 10L), ("u", 1, 0, 2, 1L, 7L)
+    ).toDF("url", "para_idx", "win", "token_id", "q_cnt", "tok_count")
+    val candRes = Seq(("u", 1, 0, 1), ("u", 1, 0, 2)).toDF("url", "para_idx", "win", "res_id")
     val totals = ModelBuild.Totals(100L, 200L, 100L, 22L, 3L)
     val cfg = Disambiguator.Config()
 
     val out = Disambiguator.contextScores(candRes, docTokens, contexts, totals, cfg)
-      .collect().map(r => r.getInt(2) -> r.getDouble(3)).toMap
+      .collect().map(r => r.getAs[Int]("res_id") -> r.getAs[Double]("ctx_score")).toMap
 
     // expected, replicating GenerativeContextSimilarity.scala:19-78:
     def pLM(tokCount: Long) = math.log(tokCount + 1.0) - math.log(22.0 + 3.0)
@@ -55,7 +55,7 @@ class DisambiguatorSpec extends AnyFunSuite {
 
     // NIL score: all pML = 0
     val nil = Disambiguator.nilContextScores(docTokens, totals, cfg)
-      .collect().head.getDouble(2)
+      .collect().head.getAs[Double]("nil_ctx_score")
     val expNil = (math.log(2.0) + math.log(0.8) + pLM(10)) + (math.log(1.0) + math.log(0.8) + pLM(7))
     assert(math.abs(nil - expNil) < 1e-9)
   }
@@ -63,11 +63,11 @@ class DisambiguatorSpec extends AnyFunSuite {
   test("D4 TF*ICF matches hand computation") {
     import spark.implicits._
     val docTokens = Seq(
-      ("u", 1, 1, 1L, 10L), ("u", 1, 2, 1L, 7L)
-    ).toDF("url", "para_idx", "token_id", "q_cnt", "tok_count")
-    val candRes = Seq(("u", 1, 1), ("u", 1, 2)).toDF("url", "para_idx", "res_id")
+      ("u", 1, 0, 1, 1L, 10L), ("u", 1, 0, 2, 1L, 7L)
+    ).toDF("url", "para_idx", "win", "token_id", "q_cnt", "tok_count")
+    val candRes = Seq(("u", 1, 0, 1), ("u", 1, 0, 2)).toDF("url", "para_idx", "win", "res_id")
     val out = Disambiguator.tficfScores(candRes, docTokens, contexts)
-      .collect().map(r => r.getInt(2) -> r.getDouble(3)).toMap
+      .collect().map(r => r.getAs[Int]("res_id") -> r.getAs[Double]("tficf_score")).toMap
     // nCand = 2. token1 hits only res1 → icf = log(2/1)+1; token2 hits both → icf = log(2/2)+1 = 1
     val exp1 = (1 * 8 * (math.log(2.0) + 1) + 1 * 2 * 1.0) / 10.0
     val exp2 = (1 * 5 * 1.0) / 10.0

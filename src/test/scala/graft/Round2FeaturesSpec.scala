@@ -426,28 +426,55 @@ class Round2FeaturesSpec extends AnyFunSuite {
 
   // ---- D1 MAX_CONTEXT window cap -------------------------------------------
 
-  test("oversized paragraphs split into token windows; small ones pass through") {
-    import spark.implicits._
-    val small = graft.model.ParagraphRow("u", 1, "a short paragraph")
+  test("MAX_CONTEXT: window arithmetic agrees between tokens and spot offsets") {
     val bigText = (1 to 600).map(i => s"tok$i").mkString(" ")
-    val big = graft.model.ParagraphRow("u", 2, bigText)
-    val out = graft.pipeline.Annotate.windowParagraphs(
-      Seq(small, big).toDS(), maxTokens = 250).collect().sortBy(_.para_idx)
-    // small paragraph untouched (identity below the cap)
-    assert(out.head === small)
-    val windows = out.filter(_.para_idx >= 2000)
-    assert(windows.map(_.para_idx).toSeq === Seq(2001, 2002, 2003))
-    // every window respects the token cap
-    windows.foreach(w =>
-      assert(graft.util.TextUtil.tokenize(w.para_text).length <= 250))
-    // windows are contiguous: concatenation reproduces the original text
-    assert(windows.map(_.para_text).mkString("") === bigText)
-    // full annotate over windowed garbage-sized text completes (cap wired
-    // into scoredOn)
+    val toks = graft.util.TextUtil.tokenize(bigText)
+    val starts = graft.util.TextUtil.windowStarts(toks, 250)
+    assert(starts.length === 3 && starts(0) === 0)
+    // char-offset window of every token equals its stream-index window —
+    // the invariant that keys spots and histograms to the SAME context
+    toks.zipWithIndex.foreach { case (t, i) =>
+      assert(graft.util.TextUtil.windowOf(starts, t.offset) === i / 250)
+    }
+    // a text at or under the cap is a single window
+    assert(graft.util.TextUtil.windowStarts(
+      graft.util.TextUtil.tokenize("a short paragraph"), 250).toSeq === Seq(0))
+    // windowed histogram: 600 distinct tokens → windows 0/1/2, 250/250/100
+    import spark.implicits._
+    val paras = Seq(graft.model.ParagraphRow("u", 2, bigText)).toDS()
+    val dict = graft.modelbuild.ModelBuild.tokenTypes(
+      paras, spark.emptyDataset[graft.model.SurfaceFormRow])
+    val hist = graft.disambig.Disambiguator.docTokenHistogram(paras, dict)
+      .groupBy("win").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist === Map(0 -> 250L, 1 -> 250L, 2 -> 100L))
+  }
+
+  test("MAX_CONTEXT: oversized paragraphs score per window under ORIGINAL keys") {
+    import spark.implicits._
+    // an oversized paragraph through the Runner-path scoring function
+    // (Annotate.scored): spots keep original (url, para_idx, offset) and
+    // join only their own window's histogram — the round-2 scale-killer
+    // (unbounded context join) and the round-2 advice bug (synthetic
+    // para_idx/offsets leaking to eval joins) both gone.
     val m = SparkEntry.model(spark)
-    val scored = graft.pipeline.Annotate.scoredOn(spark, m,
-      Seq(big.copy(para_text = bigText + " Mercury orbit telescope")).toDS())
-    scored.count(): Unit
+    val bigText = (1 to 600).map(i => s"tok$i").mkString(" ")
+    val probe = "Mercury orbit telescope"
+    val para = graft.model.ParagraphRow("synthetic:big", 7, bigText + " " + probe)
+    val scored = graft.pipeline.Annotate.scoredOn(spark, m, Seq(para).toDS())
+      .select("url", "para_idx", "offset", "win").distinct().collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      assert(r.getString(0) === "synthetic:big" && r.getInt(1) === 7)
+      // every spot sits in the trailing probe text: original offsets past
+      // the filler, context window 2 (tokens 500-602)
+      assert(r.getInt(2) > bigText.length)
+      assert(r.getInt(3) === 2)
+    }
+    // ≤250-token paragraphs: single window 0, identical to the uncapped
+    // round-2 behavior (goldens unchanged)
+    val smallScored = graft.pipeline.Annotate.scoredOn(spark, m,
+      Seq(graft.model.ParagraphRow("synthetic:small", 1, probe)).toDS())
+    assert(smallScored.select("win").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
   }
 
   // ---- D10 custom scores ---------------------------------------------------
