@@ -196,4 +196,110 @@ object PipelineQueries {
       Seq((sm.recall, sm.precision, dm.accuracy, dm.mrr, dm.total))
         .toDF("spot_recall", "spot_precision", "disambig_accuracy", "mrr", "gold_spots")
     }))
+
+  /** Parquet-dir reference inside oracle SQL: Verify substitutes
+    * [[OutPlaceholder]] with the absolute output directory it writes to,
+    * so DuckDB re-derives later pipeline stages from EARLIER emitted
+    * stages (the A1-A8 aggregation/ID arithmetic is recomputed
+    * independently; only UDF-born scalar columns — sf_normalized,
+    * total_count — pass through from the table under test). */
+  val OutPlaceholder = "__OUT__"
+  private def p(name: String) = s"'$OutPlaceholder/$name.parquet/*.parquet'"
+
+  /** DuckDB oracles for the model-build family (VERDICT r2 item 3:
+    * graduate these from rows-only to hash-verified). All recompute the
+    * stage from p_occurrences / p_ntriples_parse — the raw extracted
+    * facts — so a wrong join, salt-phase bug, or unstable dense-ID
+    * assignment in ModelBuild fails the driver compare. */
+  def oracleSql: Map[String, String] = Map(
+    // A8: reference getEndOfChainURI semantics — follow until no next hop
+    // or the next hop was already visited (cycles stop at last new node).
+    "p_redirect_closure" -> s"""
+      WITH RECURSIVE edges AS (
+        SELECT DISTINCT replace(subj,'http://dbpedia.org/resource/','') AS e_from,
+                        replace(obj,'http://dbpedia.org/resource/','') AS e_to
+        FROM ${p("p_ntriples_parse")}
+        WHERE pred = 'http://dbpedia.org/ontology/wikiPageRedirects'
+      ), walk(f, t, path) AS (
+        SELECT e_from, e_to, [e_from, e_to] FROM edges
+        UNION ALL
+        SELECT w.f, e.e_to, list_append(w.path, e.e_to)
+        FROM walk w JOIN edges e ON w.t = e.e_from
+        WHERE NOT list_contains(w.path, e.e_to)
+      )
+      SELECT f AS "from", t AS "to" FROM walk w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.e_from = w.t AND NOT list_contains(w.path, e.e_to))""",
+    // A1: annotated_count = weighted occurrence count per sf; sf_id = dense
+    // rank by sf. total_count/sf_normalized are automaton/UDF products
+    // (not ANSI-expressible) and pass through from the emitted table.
+    "p_surface_forms" -> s"""
+      WITH agg AS (
+        SELECT sf, CAST(SUM(weight) AS BIGINT) AS annotated_count
+        FROM ${p("p_occurrences")} GROUP BY sf)
+      SELECT CAST(row_number() OVER (ORDER BY agg.sf) AS INT) AS sf_id, agg.sf,
+             s.sf_normalized, agg.annotated_count, s.total_count
+      FROM agg JOIN ${p("p_surface_forms")} s ON agg.sf = s.sf""",
+    // A2 (+S10): support after redirect resolution and disambig-URI
+    // removal; types re-aggregated from the instance-types triples.
+    "p_resources" -> s"""
+      WITH resolved AS (
+        SELECT coalesce(c."to", o.uri) AS uri, o.weight
+        FROM ${p("p_occurrences")} o
+        LEFT JOIN ${p("p_redirect_closure")} c ON o.uri = c."from"
+      ), nodis AS (
+        SELECT * FROM resolved r WHERE NOT EXISTS (
+          SELECT 1 FROM ${p("p_ntriples_parse")} n
+          WHERE n.pred = 'http://dbpedia.org/ontology/wikiPageDisambiguates'
+            AND replace(n.subj,'http://dbpedia.org/resource/','') = r.uri)
+      ), sup AS (
+        SELECT uri, CAST(SUM(weight) AS BIGINT) AS support FROM nodis GROUP BY uri
+      ), typ AS (
+        SELECT replace(subj,'http://dbpedia.org/resource/','') AS uri,
+               array_to_string(list_sort(list_distinct(list(
+                 replace(replace(obj,'http://dbpedia.org/ontology/','DBpedia:'),
+                         'http://schema.org/','Schema:')))), ',') AS types
+        FROM ${p("p_ntriples_parse")}
+        WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY sup.uri) AS INT) AS res_id, sup.uri,
+             sup.support, coalesce(typ.types, '') AS types
+      FROM sup LEFT JOIN typ ON sup.uri = typ.uri""",
+    // A3: pair counts on the resolved (sf, uri) keyed through the
+    // independently-verified dimension IDs.
+    "p_candidates" -> s"""
+      WITH resolved AS (
+        SELECT o.sf, coalesce(c."to", o.uri) AS uri, o.weight
+        FROM ${p("p_occurrences")} o
+        LEFT JOIN ${p("p_redirect_closure")} c ON o.uri = c."from"
+      ), nodis AS (
+        SELECT * FROM resolved r WHERE NOT EXISTS (
+          SELECT 1 FROM ${p("p_ntriples_parse")} n
+          WHERE n.pred = 'http://dbpedia.org/ontology/wikiPageDisambiguates'
+            AND replace(n.subj,'http://dbpedia.org/resource/','') = r.uri)
+      )
+      SELECT s.sf_id, r.res_id, CAST(SUM(n.weight) AS BIGINT) AS cooc_count
+      FROM nodis n
+      JOIN ${p("p_surface_forms")} s ON n.sf = s.sf
+      JOIN ${p("p_resources")} r ON n.uri = r.uri
+      GROUP BY s.sf_id, r.res_id""",
+    // R6: md5-derived bucket split — DuckDB reproduces the exact bucket
+    // arithmetic (ModelBuild.hashSplit uses the first 60 md5 bits).
+    "p_train_test_split" -> s"""
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT CASE WHEN ('0x'||substring(md5(id),1,15))::BIGINT % 1000 >= 200
+                    THEN 'train' ELSE 'test' END AS split
+        FROM ${p("p_occurrences")})
+      GROUP BY split""",
+    // D1 MAX_CONTEXT: window index + dictionary-encoded histogram of the
+    // deterministic 600-token paragraph, regenerated from generate_series.
+    "p_windowed_ctx" -> s"""
+      WITH toks AS (
+        SELECT 'tok'||CAST(i AS VARCHAR) AS token, CAST(i-1 AS INT) AS pos
+        FROM generate_series(1,600) t(i))
+      SELECT 'synthetic' AS url, CAST(1 AS INT) AS para_idx,
+             CAST((pos // 250) AS INT) AS win,
+             CAST(row_number() OVER (ORDER BY token) AS INT) AS token_id,
+             CAST(1 AS BIGINT) AS q_cnt, CAST(1 AS BIGINT) AS tok_count
+      FROM toks""")
 }

@@ -67,6 +67,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.queries ++ RelationalQueries.queries ++ TextOpsQueries.queries
 
+  /** Pipeline oracles reference already-emitted parquet via
+    * [[PipelineQueries.OutPlaceholder]]; Verify substitutes the real
+    * output dir before writing oracle_sql.json. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ TextOpsQueries.oracleSql
+    RelationalQueries.oracleSql ++ TextOpsQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -55,7 +55,12 @@ object Verify {
     // (`<name>.parquet`): round 1 showed the driver keys its lookup by
     // the output filename while we keyed by bare name → 0/51 `no_oracle`.
     // Dual keys cover either lookup convention at zero cost.
+    // Pipeline oracles re-derive later stages from earlier EMITTED ones:
+    // substitute the placeholder with this run's absolute output dir so
+    // DuckDB (run by the driver after us) can read them by path.
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
+      .map { case (k, v) => k -> v.replace(PipelineQueries.OutPlaceholder, absOut) }
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
