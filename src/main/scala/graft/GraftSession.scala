@@ -20,6 +20,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // entity_contexts is bucketed by res_id but joined on
+      // (res_id, token_id): allow co-partitioning on a subset of the
+      // join keys so the bucketed model side feeds the context join
+      // without a re-shuffle (the probe side shuffles by res_id to the
+      // bucket layout instead — RunnerSpec asserts the plan)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // native Catalyst expressions (fnv_fingerprint) as SQL functions
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")

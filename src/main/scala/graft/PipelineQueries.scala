@@ -176,6 +176,16 @@ object PipelineQueries {
       graft.triples.Serializers.toNif(
         Annotate.annotationsFrom(s, SparkEntry.scored(s)).toDF(),
         m(s).paragraphs.toDF())),
+    "p_html_out" -> ((s, _) =>
+      // S16 HTML serializer: annotated text with <a href> spans
+      graft.triples.Serializers.toHtml(
+        Annotate.annotationsFrom(s, SparkEntry.scored(s)).toDF(),
+        m(s).paragraphs.toDF())),
+    "p_rdfa_out" -> ((s, _) =>
+      // S16 RDFa serializer: about/typeof semantic markup spans
+      graft.triples.Serializers.toRdfa(
+        Annotate.annotationsFrom(s, SparkEntry.scored(s)).toDF(),
+        m(s).paragraphs.toDF())),
     "p_candidates_xml" -> ((s, _) =>
       // S16 /candidates document: full ranked candidate list per spot
       graft.triples.Serializers.toCandidatesXml(

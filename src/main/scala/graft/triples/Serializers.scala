@@ -176,6 +176,95 @@ object Serializers {
     ctxTriples.unionByName(phraseTriples)
   }
 
+  /** Splice per-annotation link markup into the paragraph text: the
+   *  annotations of a document, sorted by offset, replace their surface
+   *  form span with `linkCol`'s markup — the column-algebra equivalent of
+   *  OutputManager.makeWebRepresentation's offset-tracking splice loop
+   *  (rest/.../OutputManager.java:251-269), done as ONE `aggregate`
+   *  higher-order function over the sorted list so the whole document
+   *  renders inside whole-stage codegen (no UDF, no driver loop).
+   *  Returns (url, para_idx, content) with `\n` already `<br/>`-ized. */
+  private def spliceLinks(annotations: DataFrame, paragraphs: DataFrame,
+                          linkCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.Column
+    val frags = annotations
+      .select(col("url"), col("para_idx"),
+        struct(col("offset"), length(col("sf")).as("sflen"), linkCol.as("link")).as("_f"))
+      .groupBy("url", "para_idx")
+      .agg(sort_array(collect_list(col("_f"))).as("_fs"))
+    frags
+      .join(paragraphs.select(col("url"), col("para_idx"), col("para_text")),
+        Seq("url", "para_idx"), "right")
+      .select(col("url"), col("para_idx"),
+        replace(
+          when(col("_fs").isNull, col("para_text")).otherwise(
+            // fold: acc = (chars consumed, rendered prefix); each step
+            // copies the gap before the spot then the link markup
+            aggregate(col("_fs"),
+              struct(lit(0).as("pos"), lit("").as("acc")),
+              (acc: Column, x: Column) => struct(
+                (x.getField("offset") + x.getField("sflen")).as("pos"),
+                concat(acc.getField("acc"),
+                  col("para_text").substr(acc.getField("pos") + 1,
+                    x.getField("offset") - acc.getField("pos")),
+                  x.getField("link")).as("acc")),
+              acc => concat(acc.getField("acc"),
+                col("para_text").substr(acc.getField("pos") + 1,
+                  length(col("para_text")) - acc.getField("pos"))))),
+          lit("\n"), lit("<br/>")).as("content"))
+  }
+
+  private val HtmlMain =
+    "<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 4.01 Transitional//EN\" \"http://www.w3.org/TR/html4/loose.dtd\">\n" +
+    "<html>\n<head>\n<title>DBpedia Spotlight annotation</title>\n" +
+    "<meta http-equiv=\"Content-type\" content=\"text/html;charset=UTF-8\">\n" +
+    "</head>\n<body>\n<div>\n"
+  private val RdfaMain =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+    "<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML+RDFa 1.0//EN\" \"http://www.w3.org/MarkUp/DTD/xhtml-rdfa-1.dtd\">\n" +
+    "<html xmlns=\"http://www.w3.org/1999/xhtml\" xmlns:lexvo=\"http://lexvo.org/ontology#\" " +
+    "xmlns:dbpedia=\"http://dbpedia.org/resource/\" xmlns:dbpo=\"http://dbpedia.org/ontology/\">\n" +
+    "<head>\n<title>DBpedia Spotlight annotation</title>\n</head>\n<body>\n<div>\n"
+  private val MainEnd = "\n</div>\n</body>\n</html>"
+
+  /** S16 HTML: the `/annotate` text/html representation — the paragraph
+   *  text with each annotation spliced in as
+   *  `<a href="uri" title="uri" target="_blank">sf</a>`, wrapped in the
+   *  reference's HTML skeleton (HTMLFormatter, OutputManager.java:279-292;
+   *  splice loop :251-269). One document per (url, para_idx). */
+  def toHtml(annotations: DataFrame, paragraphs: DataFrame,
+             resourceNs: String = "http://dbpedia.org/resource/"): DataFrame = {
+    val full = iri(col("uri"), resourceNs)
+    val link = concat(lit("<a href=\""), full, lit("\" title=\""), full,
+      lit("\" target=\"_blank\">"), col("sf"), lit("</a>"))
+    spliceLinks(annotations, paragraphs, link)
+      .select(col("url"), col("para_idx"),
+        concat(lit(HtmlMain), col("content"), lit(MainEnd)).as("html"))
+  }
+
+  /** S16 RDFa: same splice with semantic attributes — untyped resources
+   *  get `<a about href title target>`, typed ones
+   *  `<a about typeof href title>` with the most specific type's full
+   *  IRI (RDFaFormatter, OutputManager.java:294-325; the reference takes
+   *  the LAST type of the store's list — ours are sort_array'd, so "last"
+   *  is the lexicographically greatest, a deterministic refinement of the
+   *  reference's store order). */
+  def toRdfa(annotations: DataFrame, paragraphs: DataFrame,
+             resourceNs: String = "http://dbpedia.org/resource/"): DataFrame = {
+    val full = iri(col("uri"), resourceNs)
+    val mostSpecific = iri(element_at(col("types"), -1), resourceNs)
+    val link = when(coalesce(size(col("types")), lit(0)) <= 0,
+        concat(lit("<a about=\""), full, lit("\" href=\""), full,
+          lit("\" title=\""), full, lit("\" target=\"_blank\" >"), col("sf"), lit("</a>")))
+      .otherwise(
+        concat(lit("<a about=\""), full, lit("\" typeof=\""), mostSpecific,
+          lit("\" href=\""), full, lit("\" title=\""), full, lit("\">"),
+          col("sf"), lit("</a>")))
+    spliceLinks(annotations, paragraphs, link)
+      .select(col("url"), col("para_idx"),
+        concat(lit(RdfaMain), col("content"), lit(MainEnd)).as("html"))
+  }
+
   /** Predicate shorthands → absolute IRIs (N-Triples requires IRIs; a
    *  bare `<mentions>` would be rejected by conformant RDF parsers). */
   private val predIri: Map[String, String] = Map(

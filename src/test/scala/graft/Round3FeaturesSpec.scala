@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.AnnotationRow
+import graft.triples.Serializers
+
+/** Round-3 additions: HTML + RDFa web representations (S16 remainder —
+  * reference rest/.../OutputManager.java makeHTML/makeRDFa :241-248,
+  * splice loop :251-269, formatters :279-325). */
+class Round3FeaturesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private val ns = "http://dbpedia.org/resource/"
+
+  private def fixture = {
+    import spark.implicits._
+    val anns = Seq(
+      AnnotationRow("u1", 1, 6, "Berlin", "Berlin", 7L,
+        Seq("DBpedia:City", "Schema:Place"), 0.9, 0.1, 0.9),
+      AnnotationRow("u1", 1, 17, "Q", "Q_(magazine)", 3L,
+        Seq(), 0.5, 0.2, 0.5)).toDF()
+    val paras = Seq(
+      ("u1", 1, "Visit Berlin and Q\nend"),
+      ("u2", 1, "plain\ntext")).toDF("url", "para_idx", "para_text")
+    (anns, paras)
+  }
+
+  test("HTML serializer splices <a href> links at original offsets") {
+    val (anns, paras) = fixture
+    val rows = Serializers.toHtml(anns, paras).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    val b = s"$ns" + "Berlin"
+    val q = s"$ns" + "Q_(magazine)"
+    val expectedContent =
+      s"""Visit <a href="$b" title="$b" target="_blank">Berlin</a> and """ +
+      s"""<a href="$q" title="$q" target="_blank">Q</a><br/>end"""
+    val doc = rows("u1")
+    assert(doc.contains(expectedContent))
+    // reference HTMLFormatter skeleton (OutputManager.java:279-292)
+    assert(doc.startsWith("<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 4.01 Transitional//EN\""))
+    assert(doc.contains("<title>DBpedia Spotlight annotation</title>"))
+    assert(doc.endsWith("</div>\n</body>\n</html>"))
+    // paragraph with no annotations: text passes through, newlines <br/>-ized
+    assert(rows("u2").contains("plain<br/>text"))
+  }
+
+  test("RDFa serializer emits about/typeof semantic attributes") {
+    val (anns, paras) = fixture
+    val doc = Serializers.toRdfa(anns, paras).collect()
+      .find(_.getString(0) == "u1").get.getString(2)
+    val b = s"$ns" + "Berlin"
+    val q = s"$ns" + "Q_(magazine)"
+    // typed resource: about + typeof with the most specific type's IRI
+    // (RDFaFormatter.typeLink, OutputManager.java:310-317)
+    assert(doc.contains(
+      s"""<a about="$b" typeof="http://schema.org/Place" href="$b" title="$b">Berlin</a>"""))
+    // untyped resource: the plain about-link variant (note the reference's
+    // literal `target="_blank" >` spacing, OutputManager.java:309)
+    assert(doc.contains(
+      s"""<a about="$q" href="$q" title="$q" target="_blank" >Q</a>"""))
+    // XHTML+RDFa skeleton with the reference's namespace declarations
+    assert(doc.startsWith("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML+RDFa 1.0//EN\""))
+    assert(doc.contains("xmlns:dbpedia=\"http://dbpedia.org/resource/\""))
+  }
+
+  test("HTML splice handles back-to-back and document-final annotations") {
+    import spark.implicits._
+    val anns = Seq(
+      AnnotationRow("u3", 1, 0, "AB", "AB", 1L, Seq(), 0.1, 0.1, 0.1),
+      AnnotationRow("u3", 1, 2, "CD", "CD", 1L, Seq(), 0.1, 0.1, 0.1)).toDF()
+    val paras = Seq(("u3", 1, "ABCD")).toDF("url", "para_idx", "para_text")
+    val doc = Serializers.toHtml(anns, paras).head().getString(2)
+    assert(doc.contains(
+      s"""<a href="${ns}AB" title="${ns}AB" target="_blank">AB</a>""" +
+      s"""<a href="${ns}CD" title="${ns}CD" target="_blank">CD</a>"""))
+  }
+}
