@@ -38,9 +38,9 @@ object Dedup {
                                qe: org.apache.spark.sql.execution.QueryExecution,
                                durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_lsh_") && row.getAs[Long]("dropped_buckets") > 0L)
-              log.warn(s"$name: dropped ${row.getAs[Long]("dropped_buckets")} oversized " +
-                s"LSH buckets (largest=${row.getAs[Long]("largest_bucket")} rows)")
+            if (name.startsWith("graft_lsh_") && row.getAs[Long]("dropped_rows") > 0L)
+              log.warn(s"$name: dropped ${row.getAs[Long]("dropped_rows")} rows in " +
+                s"oversized LSH buckets (largest=${row.getAs[Long]("largest_bucket")} rows)")
           }
         override def onFailure(funcName: String,
                                qe: org.apache.spark.sql.execution.QueryExecution,
@@ -57,20 +57,23 @@ object Dedup {
    * collapses identical texts, so oversized buckets are
    * boilerplate-dominated, not legitimate near-dup clusters). The drop
    * report rides the query itself as an observed metric (logged on job
-   * completion); both sides of the semi-join shuffle on `keys`, so the
-   * size aggregation reuses the probe side's exchange instead of a
-   * cached materialization.
+   * completion). Shape: ONE window count over hashpartitioning(keys) —
+   * the banded input is computed once (the round-2 groupBy+semi-join
+   * version re-ran the whole signature stage on both sides), and the
+   * downstream pair self-join shuffles on the same keys, so its two
+   * sides dedup to this exchange via ReuseExchange.
    */
   private[textops] def boundBuckets(banded: DataFrame, keys: Seq[String],
                                     maxBucketSize: Int, what: String): DataFrame = {
     ensureDropListener(banded.sparkSession)
-    val sizes = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("_bsz"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    banded
+      .withColumn("_bsz", count(lit(1)).over(w))
       .observe(s"graft_lsh_${what}_${obsCounter.incrementAndGet()}",
-        sum(when(col("_bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(col("_bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"),
         coalesce(max(col("_bsz")), lit(0L)).as("largest_bucket"))
-    banded.join(sizes.filter(col("_bsz") <= maxBucketSize)
-      .select(keys.map(col): _*), keys, "left_semi")
+      .filter(col("_bsz") <= maxBucketSize)
+      .drop("_bsz")
   }
 
   /** Exact duplicate groups: canonical doc = min(doc_id) per md5(text).
