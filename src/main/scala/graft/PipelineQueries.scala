@@ -48,6 +48,13 @@ object PipelineQueries {
     "p_ntriples_parse" -> ((s, _) =>
       NTriples.fromStrings(s, SyntheticCorpus.redirectsNt ++
         SyntheticCorpus.disambiguationsNt ++ SyntheticCorpus.instanceTypesNt)),
+    "p_ntriples_raw" -> ((s, _) => {
+      // the raw N-Triples lines the S8 parser consumes, emitted so the
+      // DuckDB oracle can re-run the parse with its own regexp engine
+      import s.implicits._
+      s.createDataset(SyntheticCorpus.redirectsNt ++
+        SyntheticCorpus.disambiguationsNt ++ SyntheticCorpus.instanceTypesNt).toDF("line")
+    }),
     "p_tficf_top1" -> ((s, _) => {
       // D4: alternative TF*ICF scoring ranked per spot
       val mm = m(s)
@@ -481,5 +488,41 @@ object PipelineQueries {
              round(dm.correct/dm.total, 9) AS disambig_accuracy,
              round(dm.rr/dm.total, 9) AS mrr,
              dm.total AS gold_spots
-      FROM cont, dm""")
+      FROM cont, dm""",
+    // S8: the N-Triples parse re-run on the emitted raw lines with
+    // DuckDB's regexp engine (same pattern, independent matcher).
+    "p_ntriples_parse" -> s"""
+      SELECT regexp_extract(line, '^\\s*<([^>]+)>\\s+<([^>]+)>\\s+<([^>]+)>\\s*\\.\\s*$$', 1) AS subj,
+             regexp_extract(line, '^\\s*<([^>]+)>\\s+<([^>]+)>\\s+<([^>]+)>\\s*\\.\\s*$$', 2) AS pred,
+             regexp_extract(line, '^\\s*<([^>]+)>\\s+<([^>]+)>\\s+<([^>]+)>\\s*\\.\\s*$$', 3) AS obj
+      FROM ${p("p_ntriples_raw")}
+      WHERE NOT starts_with(line, '#') AND len(trim(line)) > 0
+        AND regexp_extract(line, '^\\s*<([^>]+)>\\s+<([^>]+)>\\s+<([^>]+)>\\s*\\.\\s*$$', 1) <> ''""",
+    // F1 training: Spark's percentile_approx at accuracy 10000 stores
+    // every one of the ~900 correct-annotation scores, so its selection
+    // rule is exact order statistics at 1-based rank max(1, ceil(p*N)) —
+    // re-derived here from the gold join + an explicit rank lookup.
+    "p_sim_thresholds" -> s"""
+      WITH dis AS (
+        SELECT replace(subj,'http://dbpedia.org/resource/','') AS uri
+        FROM ${p("p_ntriples_parse")}
+        WHERE pred = 'http://dbpedia.org/ontology/wikiPageDisambiguates'),
+      gold AS (
+        SELECT DISTINCT o.url, o.para_idx, o."offset", coalesce(c."to", o.uri) AS uri
+        FROM ${p("p_occurrences")} o
+        LEFT JOIN ${p("p_redirect_closure")} c ON o.uri = c."from"
+        WHERE o.provenance = 'Wikipedia'
+          AND coalesce(c."to", o.uri) NOT IN (SELECT uri FROM dis)),
+      correct AS (
+        SELECT b.similarity_score
+        FROM ${p("p_top1")} b JOIN gold g
+          ON b.url=g.url AND b.para_idx=g.para_idx AND b."offset"=g."offset" AND b.uri=g.uri),
+      ranked AS (
+        SELECT similarity_score,
+               row_number() OVER (ORDER BY similarity_score) AS rn,
+               COUNT(*) OVER () AS n
+        FROM correct)
+      SELECT CAST(i AS INT) AS quantile_idx, r.similarity_score AS threshold
+      FROM generate_series(0, 10) t(i)
+      JOIN ranked r ON r.rn = greatest(1, CAST(ceil((i/10.0) * r.n) AS BIGINT))""")
 }

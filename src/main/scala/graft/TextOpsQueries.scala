@@ -135,6 +135,23 @@ object TextOpsQueries {
     .map(w => s"'$w'").mkString("[", ",", "]")
 
   def oracleSql: Map[String, String] = Map(
+    // FNV-1a 64-bit re-run char-by-char in DuckDB: wraparound multiply
+    // emulated in HUGEINT mod 2^64, two's-complement fold back to BIGINT.
+    // Valid while `documents.text` is BMP-only (unicode(c) == the UTF-16
+    // unit the Catalyst expression hashes; the testdata corpus is ASCII).
+    "t_fingerprint" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint
+         FROM (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+               (acc, c) -> (xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
+                            * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+             ) AS h
+           FROM documents)""",
     "t_doc_stats" ->
       s"""WITH base AS (
            SELECT doc_id, text,
