@@ -19,6 +19,17 @@ object PipelineQueries {
 
   private def m(s: SparkSession) = SparkEntry.model(s)
 
+  /** Gated OVERLAP-MODE spots (every word-aligned dictionary hit incl.
+    * nested/crossing spans) — the input [[graft.spot.Spotter.resolveOverlaps]]
+    * is specified against. Deterministic, so `p_overlap_input` and
+    * `p_overlap_resolved` see the same rows. */
+  private def overlapInput(s: SparkSession): DataFrame = {
+    val mm = m(s)
+    val bc = s.sparkContext.broadcast(graft.spot.Spotter.buildAutomaton(mm.surfaceForms))
+    graft.spot.Spotter.gatedSpots(
+      graft.spot.Spotter.allSpots(mm.paragraphs, bc), mm.surfaceForms)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_extracted" -> ((s, _) => {
       graft.extract.Extractor.extracted(SyntheticCorpus.webPages(s, 120))
@@ -119,9 +130,15 @@ object PipelineQueries {
     "p_conll_gold" -> ((s, _) =>
       // AIDA/CoNLL corpus reader over the bundled fixture
       graft.eval.Corpora.fromConllLines(s, graft.eval.CorpusFixtures.conllLines)._1),
+    "p_overlap_input" -> ((s, _) => overlapInput(s)),
     "p_overlap_resolved" -> ((s, _) =>
-      // P4 score-cascade overlap resolution over the gated spots
-      graft.spot.Spotter.resolveOverlaps(SparkEntry.gated(s))),
+      // P4 score-cascade overlap resolution over OVERLAP-MODE spots
+      // (findAllAligned emits nested/crossing spans, so the cascade
+      // genuinely fires — the leftmost-longest fast path used by
+      // p_spots never produces overlaps and made this an identity).
+      // Oracle: a DuckDB recursive CTE re-walks the cascade per
+      // paragraph over the emitted p_overlap_input.
+      graft.spot.Spotter.resolveOverlaps(overlapInput(s))),
     "p_random_disambig" -> ((s, _) => {
       // D10 seeded random baseline (deterministic via fixed seed)
       val mm = m(s)
@@ -489,6 +506,51 @@ object PipelineQueries {
              round(dm.rr/dm.total, 9) AS mrr,
              dm.total AS gold_spots
       FROM cont, dm""",
+    // P4 overlap cascade re-walked in DuckDB: a recursive CTE carries
+    // the resolver's (lastIdx) state spot-by-spot per paragraph —
+    // branch-for-branch the dropOverlappingSpots cascade with
+    // typeOrder = Nil (longer wins above half the incumbent's score,
+    // shorter survives only above double, equal scores keep the
+    // incumbent, otherwise higher score wins). A spot is dropped if it
+    // loses at its own step (self_removed) or is displaced later while
+    // incumbent (removed_prev). Ordering (offset, len(sf)) is tie-free:
+    // equal span ⇒ identical substring ⇒ identical row (deduped).
+    "p_overlap_resolved" -> s"""
+      WITH RECURSIVE spots AS (
+        SELECT url, para_idx, "offset", sf, spot_prob, win,
+               CAST(row_number() OVER (PARTITION BY url, para_idx
+                 ORDER BY "offset", len(sf)) - 1 AS INT) AS i
+        FROM (SELECT DISTINCT url, para_idx, "offset", sf, spot_prob, win
+              FROM ${p("p_overlap_input")})),
+      walk(url, para_idx, i, last_i, last_off, last_len, last_prob,
+           self_removed, removed_prev) AS (
+        SELECT url, para_idx, i, i, "offset", len(sf), spot_prob, false, NULL::INT
+        FROM spots WHERE i = 0
+        UNION ALL
+        SELECT s.url, s.para_idx, s.i,
+          CASE WHEN NOT d.inter OR d.win_s THEN s.i ELSE w.last_i END,
+          CASE WHEN NOT d.inter OR d.win_s THEN s."offset" ELSE w.last_off END,
+          CASE WHEN NOT d.inter OR d.win_s THEN len(s.sf) ELSE w.last_len END,
+          CASE WHEN NOT d.inter OR d.win_s THEN s.spot_prob ELSE w.last_prob END,
+          d.inter AND NOT d.win_s,
+          CASE WHEN d.inter AND d.win_s THEN w.last_i ELSE NULL END
+        FROM walk w
+        JOIN spots s ON s.url = w.url AND s.para_idx = w.para_idx AND s.i = w.i + 1,
+        LATERAL (SELECT
+           (s."offset" < w.last_off + w.last_len
+            AND w.last_off < s."offset" + len(s.sf)) AS inter,
+           (CASE
+              WHEN len(s.sf) > w.last_len AND s.spot_prob > w.last_prob / 2.0 THEN true
+              WHEN len(s.sf) <= w.last_len AND NOT (s.spot_prob > w.last_prob * 2.0) THEN false
+              WHEN s.spot_prob = w.last_prob THEN false
+              WHEN s.spot_prob > w.last_prob THEN true
+              ELSE false END) AS win_s) d)
+      SELECT s.url, s.para_idx, s."offset", s.sf, s.spot_prob,
+             '' AS spot_type, s.win
+      FROM spots s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM walk w WHERE w.url = s.url AND w.para_idx = s.para_idx
+          AND ((w.i = s.i AND w.self_removed) OR w.removed_prev = s.i))""",
     // S8: the N-Triples parse re-run on the emitted raw lines with
     // DuckDB's regexp engine (same pattern, independent matcher).
     "p_ntriples_parse" -> s"""

@@ -127,6 +127,37 @@ object Spotter {
       .filter(col("spot_prob") >= threshold)
       .select("url", "para_idx", "offset", "sf", "spot_prob", "win")
 
+  /** Overlap-mode spots: every word-aligned dictionary hit, including
+   *  nested/crossing spans ([[AhoCorasick.findAllAligned]]) — the raw
+   *  multi-spotter union shape that [[resolveOverlaps]] consumes
+   *  (reference DBSpotter emits all gated matches and THEN runs
+   *  dropOverlappingSpots, db/DBSpotter.scala:100-129; the
+   *  leftmost-longest fast path in [[spots]] is the single-spotter
+   *  shortcut). Same window tagging as [[spots]]. */
+  def allSpots(paragraphs: Dataset[ParagraphRow], bc: Broadcast[AhoCorasick],
+               maxContextTokens: Int = 250): Dataset[SpotRow] = {
+    val spark = paragraphs.sparkSession
+    import spark.implicits._
+    paragraphs.mapPartitions { it =>
+      val ac = bc.value
+      it.flatMap { p =>
+        val ms = ac.findAllAligned(p.para_text)
+        if (ms.isEmpty) Iterator.empty
+        else {
+          val starts =
+            if (p.para_text.length <= maxContextTokens) graft.util.TextUtil.SingleWindow
+            else graft.util.TextUtil.windowStarts(
+              graft.util.TextUtil.tokenize(p.para_text), maxContextTokens)
+          ms.iterator.map { m =>
+            SpotRow(p.url, p.para_idx, m.start,
+              p.para_text.substring(m.start, m.end), 0.0,
+              if (starts.length == 1) 0 else graft.util.TextUtil.windowOf(starts, m.start))
+          }
+        }
+      }
+    }
+  }
+
   /** A1 total counts: word-aligned overlap-mode match counts of every
    *  dictionary surface form over all paragraph text (the raw-string
    *  total of sfAndTotalCounts; SurfaceFormSource.scala:25-63 consumes the

@@ -76,4 +76,29 @@ class Round3FeaturesSpec extends AnyFunSuite {
       s"""<a href="${ns}AB" title="${ns}AB" target="_blank">AB</a>""" +
       s"""<a href="${ns}CD" title="${ns}CD" target="_blank">CD</a>"""))
   }
+
+  test("overlap-mode spotting feeds the resolver genuine overlaps") {
+    // p_overlap_resolved's premise: allSpots (findAllAligned) emits
+    // nested/crossing spans that the leftmost-longest fast path never
+    // produces, so the resolver's score cascade genuinely fires.
+    import spark.implicits._
+    import graft.model.{ParagraphRow, SurfaceFormRow}
+    val sfs = Seq(
+      SurfaceFormRow(1, "New York", "new york", 80L, 100L),
+      SurfaceFormRow(2, "New York City", "new york city", 60L, 80L),
+      SurfaceFormRow(3, "York", "york", 30L, 100L)).toDS()
+    val paras = Seq(ParagraphRow("u", 1, "I love New York City a lot")).toDS()
+    val bc = spark.sparkContext.broadcast(graft.spot.Spotter.buildAutomaton(sfs))
+    val all = graft.spot.Spotter.gatedSpots(
+      graft.spot.Spotter.allSpots(paras, bc), sfs).cache()
+    val spans = all.select("offset", "sf").as[(Int, String)].collect().toSet
+    // nested spans present: "New York" and "York" inside "New York City"
+    assert(spans == Set((7, "New York"), (7, "New York City"), (11, "York")))
+    val resolved = graft.spot.Spotter.resolveOverlaps(all.toDF())
+      .select("offset", "sf").as[(Int, String)].collect().toSet
+    // cascade: longer "New York City" (prob 0.75) displaces "New York"
+    // (prob 0.8 → 0.75 > 0.4 = half), then "York" (0.3, shorter, not
+    // above double the incumbent) is dropped
+    assert(resolved == Set((7, "New York City")))
+  }
 }
