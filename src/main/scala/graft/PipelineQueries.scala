@@ -45,6 +45,10 @@ object PipelineQueries {
     "p_candidates" -> ((s, _) => m(s).candidates.toDF()),
     "p_token_types" -> ((s, _) => m(s).tokenTypes.toDF()),
     "p_entity_contexts" -> ((s, _) => m(s).entityContexts.toDF()),
+    "p_raw_spots" -> ((s, _) =>
+      // pre-gate automaton output (rows-only: the automaton itself is
+      // spec-verified); both gate oracles re-derive from this
+      SparkEntry.rawSpots(s).drop("spot_prob")),
     "p_spots" -> ((s, _) => SparkEntry.gated(s)),
     "p_scored" -> ((s, _) => SparkEntry.scored(s).drop("types", "path")),
     "p_top1" -> ((s, _) => Disambiguator.best(SparkEntry.scored(s)).drop("types")),
@@ -103,12 +107,13 @@ object PipelineQueries {
         .groupBy("split").agg(count(lit(1)).as("n"))
     }),
     "p_weighted_spots" -> ((s, _) => {
-      // P4 weighted gate: feature dot product at threshold 0.5
+      // P4 weighted gate: feature dot product at threshold 0.5, over the
+      // same cached raw spot stream the oracle re-derives from
       val mm = m(s)
-      val bc = s.sparkContext.broadcast(graft.spot.Spotter.buildAutomaton(mm.surfaceForms))
       graft.spot.Spotter.weightedGatedSpots(
-        graft.spot.Spotter.spots(mm.paragraphs, bc), mm.surfaceForms,
-        weights = Seq(1.0, 0.2, -0.2, 0.1))
+        SparkEntry.rawSpots(s).as[graft.model.SpotRow](
+          org.apache.spark.sql.Encoders.product[graft.model.SpotRow]),
+        mm.surfaceForms, weights = Seq(1.0, 0.2, -0.2, 0.1))
     }),
     "p_stemmed_tokens" -> ((s, _) =>
       // T3: the token dictionary under the Porter stemmer path
@@ -506,6 +511,41 @@ object PipelineQueries {
              round(dm.rr/dm.total, 9) AS mrr,
              dm.total AS gold_spots
       FROM cont, dm""",
+    // P4 no-weights gate re-derived from the raw spots: spot_prob =
+    // annotationProbability (1.0 when total_count ≤ 0 — the reference's
+    // unknown-total convention), gated at 0.25.
+    "p_spots" -> s"""
+      SELECT r.url, r.para_idx, r."offset", r.sf,
+             CASE WHEN f.total_count <= 0 THEN 1.0::DOUBLE
+                  ELSE CAST(f.annotated_count AS DOUBLE) / CAST(f.total_count AS DOUBLE)
+             END AS spot_prob,
+             r.win
+      FROM ${p("p_raw_spots")} r
+      JOIN ${p("p_surface_forms")} f ON r.sf = f.sf
+      WHERE (CASE WHEN f.total_count <= 0 THEN 1.0::DOUBLE
+                  ELSE CAST(f.annotated_count AS DOUBLE) / CAST(f.total_count AS DOUBLE)
+             END) >= 0.25""",
+    // P4 weighted gate: the 4-feature dot product (annotationProbability,
+    // short all-caps abbreviation, pure number, bias) with the shipped
+    // default weights "1.0 0.2 -0.2 0.1", threshold 0.5.
+    "p_weighted_spots" -> s"""
+      WITH feat AS (
+        SELECT r.url, r.para_idx, r."offset", r.sf, r.win,
+               CASE WHEN f.total_count <= 0 THEN 1.0::DOUBLE
+                    ELSE CAST(f.annotated_count AS DOUBLE) / CAST(f.total_count AS DOUBLE)
+               END AS prob,
+               regexp_matches(r.sf, '^[0-9]+$$') AS is_num,
+               (upper(r.sf) = r.sf AND len(r.sf) < 5
+                AND NOT regexp_matches(r.sf, '^[0-9]+$$')) AS is_abbrev
+        FROM ${p("p_raw_spots")} r
+        JOIN ${p("p_surface_forms")} f ON r.sf = f.sf)
+      SELECT url, para_idx, "offset", sf,
+             1.0::DOUBLE * prob + 0.2::DOUBLE * CAST(is_abbrev AS DOUBLE)
+               + (-0.2)::DOUBLE * CAST(is_num AS DOUBLE) + 0.1::DOUBLE AS spot_prob,
+             win
+      FROM feat
+      WHERE 1.0::DOUBLE * prob + 0.2::DOUBLE * CAST(is_abbrev AS DOUBLE)
+              + (-0.2)::DOUBLE * CAST(is_num AS DOUBLE) + 0.1::DOUBLE >= 0.5""",
     // P4 overlap cascade re-walked in DuckDB: a recursive CTE carries
     // the resolver's (lastIdx) state spot-by-spot per paragraph —
     // branch-for-branch the dropOverlappingSpots cascade with

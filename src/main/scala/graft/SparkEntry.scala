@@ -30,6 +30,7 @@ object SparkEntry {
   // six queries consume `scored`, and recomputing its join DAG per query
   // would dominate Verify/Bench wall-clock.
   @volatile private var cachedModel: Option[(SparkSession, graft.pipeline.Model)] = None
+  @volatile private var cachedRaw: Option[DataFrame] = None
   @volatile private var cachedGated: Option[DataFrame] = None
   @volatile private var cachedScored: Option[DataFrame] = None
   private[graft] def model(spark: SparkSession): graft.pipeline.Model = synchronized {
@@ -38,18 +39,32 @@ object SparkEntry {
       case _ =>
         val m = Annotate.syntheticModel(spark, nDocs = 120)
         cachedModel = Some((spark, m))
+        cachedRaw = None
         cachedGated = None
         cachedScored = None
         m
     }
   }
 
+  /** Raw (pre-gate) leftmost-longest spots — emitted as `p_raw_spots` so
+    * the DuckDB oracles can re-derive both spot gates from it. */
+  private[graft] def rawSpots(spark: SparkSession): DataFrame = synchronized {
+    val m = model(spark)
+    cachedRaw.getOrElse {
+      val bc = spark.sparkContext.broadcast(graft.spot.Spotter.buildAutomaton(m.surfaceForms))
+      val r = graft.spot.Spotter.spots(m.paragraphs, bc).toDF().cache()
+      cachedRaw = Some(r)
+      r
+    }
+  }
+
   private[graft] def gated(spark: SparkSession): DataFrame = synchronized {
     val m = model(spark)
     cachedGated.getOrElse {
-      val bc = spark.sparkContext.broadcast(graft.spot.Spotter.buildAutomaton(m.surfaceForms))
       val g = graft.spot.Spotter.gatedSpots(
-        graft.spot.Spotter.spots(m.paragraphs, bc), m.surfaceForms).cache()
+        rawSpots(spark).as[graft.model.SpotRow](
+          org.apache.spark.sql.Encoders.product[graft.model.SpotRow]),
+        m.surfaceForms).cache()
       cachedGated = Some(g)
       g
     }
