@@ -133,8 +133,17 @@ object PipelineQueries {
       ts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("quantile_idx", "threshold")
     }),
     "p_conll_gold" -> ((s, _) =>
-      // AIDA/CoNLL corpus reader over the bundled fixture
+      // AIDA/CoNLL corpus reader over the bundled fixture; the DuckDB
+      // oracle re-parses the raw lines (p_conll_raw) — BIO spans,
+      // detokenization offsets, doc keys — independently
       graft.eval.Corpora.fromConllLines(s, graft.eval.CorpusFixtures.conllLines)._1),
+    "p_conll_raw" -> ((s, _) => {
+      // the raw AIDA/CoNLL lines the S-corpus reader consumes, emitted
+      // with their ordinal so the oracle can re-walk the format
+      import s.implicits._
+      graft.eval.CorpusFixtures.conllLines.zipWithIndex
+        .map { case (l, i) => (i + 1, l) }.toDF("line_no", "line")
+    }),
     "p_overlap_input" -> ((s, _) => overlapInput(s)),
     "p_overlap_resolved" -> ((s, _) =>
       // P4 score-cascade overlap resolution over OVERLAP-MODE spots
@@ -164,6 +173,13 @@ object PipelineQueries {
       Disambiguator.docTokenHistogram(paras, dict)
         .select("url", "para_idx", "win", "token_id", "q_cnt", "tok_count")
     }),
+    "p_doc_tokens" -> ((s, _) =>
+      // D1 getQuery: the per-(url, para_idx, win) dictionary-encoded
+      // token histogram every context join consumes. Tokenization is
+      // UDF-born (BreakIterator) → rows-only here; emitting it lets the
+      // DuckDB oracles for p_scored / p_tficf_top1 / p_entity_contexts
+      // recompute the D3/D4/A4 scoring and aggregation math from it.
+      Disambiguator.docTokenHistogram(m(s).paragraphs, m(s).tokenTypes)),
     "p_predose_gold" -> ((s, _) =>
       // PREDOSE corpus reader over the bundled fixture
       graft.eval.Corpora.fromPredoseLines(
@@ -626,5 +642,239 @@ object PipelineQueries {
         FROM correct)
       SELECT CAST(i AS INT) AS quantile_idx, r.similarity_score AS threshold
       FROM generate_series(0, 10) t(i)
-      JOIN ranked r ON r.rn = greatest(1, CAST(ceil((i/10.0) * r.n) AS BIGINT))""")
+      JOIN ranked r ON r.rn = greatest(1, CAST(ceil((i/10.0) * r.n) AS BIGINT))""",
+    // A7 re-derived: explode every proper word-sub-ngram of each
+    // multi-word sf, sum the containing forms' annotated counts, subtract
+    // from total_count clamped at annotated_count (longest-annotation
+    // assumption, reference MemoryStoreIndexer.scala:69-109). Input here
+    // is the already-corrected dictionary (the query applies the
+    // correction a second time), so only sub-ngram/containment/clamp
+    // arithmetic is under test — exactly what the Scala self-join does.
+    "p_ngram_corrected_sfs" -> s"""
+      WITH sfs AS (SELECT *, string_split(sf, ' ') AS w FROM ${p("p_surface_forms")}),
+      sub AS (
+        SELECT array_to_string(s.w[st.st : st.st + l.l - 1], ' ') AS sub_sf,
+               s.annotated_count
+        FROM sfs s
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(s.w)-1)) AS l) l
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(s.w)-l.l+1)) AS st) st
+        WHERE len(s.w) > 1),
+      corr AS (SELECT sub_sf AS sf, SUM(annotated_count) AS c FROM sub GROUP BY 1)
+      SELECT f.sf_id, f.sf, f.sf_normalized, f.annotated_count,
+             CASE WHEN f.total_count > 0
+                  THEN greatest(f.total_count - coalesce(c.c, 0), f.annotated_count)
+                  ELSE f.total_count END AS total_count
+      FROM sfs f LEFT JOIN corr c ON f.sf = c.sf""",
+    // A4 re-derived: the inverted index as resolved-occurrence weight ×
+    // the paragraph's token histogram (narrowContext is the identity on
+    // every fixture paragraph — all are under the 200-word cap, asserted
+    // by the fixture design — so the occurrence context IS the paragraph
+    // stream emitted in p_doc_tokens; only tokenization itself passes
+    // through, the redirect/disambig/weight/sum arithmetic is recomputed).
+    "p_entity_contexts" -> s"""
+      WITH resolved AS (
+        SELECT o.url, o.para_idx, coalesce(c."to", o.uri) AS uri, o.weight
+        FROM ${p("p_occurrences")} o
+        LEFT JOIN ${p("p_redirect_closure")} c ON o.uri = c."from"),
+      nodis AS (
+        SELECT * FROM resolved r WHERE NOT EXISTS (
+          SELECT 1 FROM ${p("p_ntriples_parse")} n
+          WHERE n.pred = 'http://dbpedia.org/ontology/wikiPageDisambiguates'
+            AND replace(n.subj,'http://dbpedia.org/resource/','') = r.uri)),
+      tokcnt AS (
+        SELECT url, para_idx, token_id, SUM(q_cnt) AS q
+        FROM ${p("p_doc_tokens")} GROUP BY 1, 2, 3)
+      SELECT rr.res_id, t.token_id, CAST(SUM(n.weight * t.q) AS BIGINT) AS count
+      FROM nodis n
+      JOIN ${p("p_resources")} rr ON n.uri = rr.uri
+      JOIN tokcnt t ON n.url = t.url AND n.para_idx = t.para_idx
+      GROUP BY 1, 2""",
+    // D3+D5+R1-R3 re-derived end-to-end: candidates from spots ×
+    // dictionary × pair counts (top-20 by prior), the generative context
+    // score recomputed token-by-token from p_doc_tokens with Laplace
+    // smoothing and the λ=0.2 logsum mixture, the NIL gate, rank, and
+    // softmax. Integer/key columns and rank are output recomputed; float
+    // score columns pass through from the emitted table but every one is
+    // re-verified against the recomputation at 1e-6 in the WHERE (a
+    // formula bug moves scores by whole units → rows drop → red row).
+    // Sum-order float drift (Spark vs DuckDB association) is ~1e-13.
+    "p_scored" -> s"""
+      WITH tot AS (
+        SELECT (SELECT SUM(annotated_count) FROM ${p("p_surface_forms")}) AS total_annotated,
+               (SELECT SUM(support) FROM ${p("p_resources")}) AS total_support,
+               (SELECT SUM(count) + COUNT(*) FROM ${p("p_token_types")}) AS lm_denom),
+      sc AS (
+        SELECT * FROM (
+          SELECT s.url, s.para_idx, s.win, s."offset", s.sf, s.spot_prob,
+                 f.sf_id, f.annotated_count, c.res_id, c.cooc_count,
+                 CAST(c.cooc_count AS DOUBLE)/f.annotated_count AS cand_prior,
+                 row_number() OVER (PARTITION BY s.url, s.para_idx, s."offset"
+                   ORDER BY CAST(c.cooc_count AS DOUBLE)/f.annotated_count DESC, c.res_id) AS _pk
+          FROM ${p("p_spots")} s
+          JOIN ${p("p_surface_forms")} f ON s.sf = f.sf
+          JOIN ${p("p_candidates")} c ON f.sf_id = c.sf_id)
+        WHERE _pk <= 20),
+      rtot AS (SELECT res_id, SUM(count) AS res_tok_total
+               FROM ${p("p_entity_contexts")} GROUP BY 1),
+      ctx AS (
+        SELECT cr.url, cr.para_idx, cr.win, cr.res_id,
+               SUM(ln(CAST(d.q_cnt AS DOUBLE)) + CASE
+                 WHEN ec.count IS NOT NULL AND rt.res_tok_total > 0 THEN
+                   greatest(ln(0.2) + ln(CAST(ec.count AS DOUBLE)/rt.res_tok_total),
+                            ln(0.8) + ln(d.tok_count + 1.0) - ln(t.lm_denom))
+                   + ln(exp(ln(0.2) + ln(CAST(ec.count AS DOUBLE)/rt.res_tok_total)
+                            - greatest(ln(0.2) + ln(CAST(ec.count AS DOUBLE)/rt.res_tok_total),
+                                       ln(0.8) + ln(d.tok_count + 1.0) - ln(t.lm_denom)))
+                        + exp(ln(0.8) + ln(d.tok_count + 1.0) - ln(t.lm_denom)
+                            - greatest(ln(0.2) + ln(CAST(ec.count AS DOUBLE)/rt.res_tok_total),
+                                       ln(0.8) + ln(d.tok_count + 1.0) - ln(t.lm_denom))))
+                 ELSE ln(0.8) + ln(d.tok_count + 1.0) - ln(t.lm_denom) END) AS ctx_r
+        FROM (SELECT DISTINCT url, para_idx, win, res_id FROM sc) cr
+        JOIN ${p("p_doc_tokens")} d USING (url, para_idx, win)
+        LEFT JOIN ${p("p_entity_contexts")} ec
+          ON ec.res_id = cr.res_id AND ec.token_id = d.token_id
+        LEFT JOIN rtot rt ON rt.res_id = cr.res_id
+        CROSS JOIN tot t
+        GROUP BY 1, 2, 3, 4),
+      nilctx AS (
+        SELECT url, para_idx, win,
+               SUM(ln(CAST(q_cnt AS DOUBLE)) + ln(0.8) + ln(tok_count + 1.0)
+                   - ln(t.lm_denom)) AS nilctx_r
+        FROM ${p("p_doc_tokens")} CROSS JOIN tot t GROUP BY 1, 2, 3),
+      base AS (
+        SELECT sc.*, coalesce(x.ctx_r, 0.0) AS ctx_r, r.uri, r.support,
+               coalesce(n.nilctx_r, 0.0) AS nilctx_r,
+               coalesce(n.nilctx_r, 0.0) + ln(1.0/t.total_annotated) AS nil_r,
+               ln(sc.cand_prior) + coalesce(x.ctx_r, 0.0)
+                 + ln(CAST(r.support AS DOUBLE)/t.total_support) AS sim_r
+        FROM sc
+        LEFT JOIN ctx x USING (url, para_idx, win, res_id)
+        JOIN ${p("p_resources")} r USING (res_id)
+        LEFT JOIN nilctx n USING (url, para_idx, win)
+        CROSS JOIN tot t),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER w_ord AS INT) AS rank_r,
+               lead(sim_r, 1) OVER w_ord AS next_sim
+        FROM base WHERE NOT isnan(sim_r) AND sim_r > nil_r
+        WINDOW w_ord AS (PARTITION BY url, para_idx, "offset" ORDER BY sim_r DESC, res_id)
+        QUALIFY rank_r <= 20),
+      stats AS (
+        SELECT *, greatest(max(sim_r) OVER wp, nil_r) AS m_sim,
+               greatest(max(ctx_r) OVER wp, nilctx_r) AS m_ctx
+        FROM ranked WINDOW wp AS (PARTITION BY url, para_idx, "offset")),
+      softm AS (
+        SELECT *,
+          CASE WHEN next_sim IS NULL THEN -1.0 ELSE exp(next_sim - sim_r) END AS pct_r,
+          exp(sim_r - (ln(sum(exp(sim_r - m_sim)) OVER wp + exp(nil_r - m_sim)) + m_sim)) AS simsc_r,
+          exp(ctx_r - (ln(sum(exp(ctx_r - m_ctx)) OVER wp + exp(nilctx_r - m_ctx)) + m_ctx)) AS ctxsc_r
+        FROM stats WINDOW wp AS (PARTITION BY url, para_idx, "offset"))
+      SELECT f.url, f.para_idx, f.win, f.res_id, f.sf_id, f.sf, f."offset",
+             f.spot_prob, f.annotated_count, f.cooc_count, f.cand_prior,
+             e.ctx_score, f.uri, f.support, e.nil_ctx_score, e.nil_score,
+             e.similarity, f.rank_r AS rank, e.percentage_of_second_rank,
+             e.similarity_score, e.contextual_score
+      FROM softm f
+      JOIN ${p("p_scored")} e
+        ON f.url = e.url AND f.para_idx = e.para_idx
+       AND f."offset" = e."offset" AND f.res_id = e.res_id
+      WHERE abs(f.sim_r - e.similarity) < 1e-6
+        AND abs(f.ctx_r - e.ctx_score) < 1e-6
+        AND abs(f.nilctx_r - e.nil_ctx_score) < 1e-6
+        AND abs(f.nil_r - e.nil_score) < 1e-6
+        AND abs(f.pct_r - e.percentage_of_second_rank) < 1e-6
+        AND abs(f.simsc_r - e.similarity_score) < 1e-6
+        AND abs(f.ctxsc_r - e.contextual_score) < 1e-6""",
+    // D4 re-derived: TF*ICF = Σ q_cnt·tf·(ln(nCand/nCandWithToken)+1) /
+    // ctx_len over the window's candidate set, argmax per spot. The
+    // score passes through from the emitted table but is re-verified at
+    // 1e-6; the top-1 choice itself is recomputed (a wrong icf scope or
+    // ctx_len normalization picks a different res_id → row drops).
+    "p_tficf_top1" -> s"""
+      WITH sc AS (
+        SELECT * FROM (
+          SELECT s.url, s.para_idx, s.win, s."offset", s.sf,
+                 c.res_id, CAST(c.cooc_count AS DOUBLE)/f.annotated_count AS cand_prior,
+                 row_number() OVER (PARTITION BY s.url, s.para_idx, s."offset"
+                   ORDER BY CAST(c.cooc_count AS DOUBLE)/f.annotated_count DESC, c.res_id) AS _pk
+          FROM ${p("p_spots")} s
+          JOIN ${p("p_surface_forms")} f ON s.sf = f.sf
+          JOIN ${p("p_candidates")} c ON f.sf_id = c.sf_id)
+        WHERE _pk <= 20),
+      cr AS (SELECT DISTINCT url, para_idx, win, res_id FROM sc),
+      ncand AS (SELECT url, para_idx, win, count(DISTINCT res_id) AS n_cand
+                FROM cr GROUP BY 1, 2, 3),
+      hits AS (
+        SELECT cr.url, cr.para_idx, cr.win, cr.res_id, d.token_id, d.q_cnt,
+               ec.count AS tf
+        FROM cr JOIN ${p("p_doc_tokens")} d USING (url, para_idx, win)
+        JOIN ${p("p_entity_contexts")} ec
+          ON ec.res_id = cr.res_id AND ec.token_id = d.token_id),
+      icf AS (
+        SELECT h.*, ln(CAST(nc.n_cand AS DOUBLE) /
+                 (count(DISTINCT h.res_id) OVER (PARTITION BY h.url, h.para_idx, h.win, h.token_id)))
+                 + 1.0 AS icf
+        FROM hits h JOIN ncand nc USING (url, para_idx, win)),
+      rtot AS (SELECT res_id, SUM(count) AS ctx_len
+               FROM ${p("p_entity_contexts")} GROUP BY 1),
+      scores AS (
+        SELECT i.url, i.para_idx, i.win, i.res_id,
+               SUM(i.q_cnt * i.tf * i.icf) / any_value(rt.ctx_len) AS tficf_r
+        FROM icf i JOIN rtot rt USING (res_id) GROUP BY 1, 2, 3, 4),
+      top1 AS (
+        SELECT sc.url, sc.para_idx, sc."offset", sc.sf, sc.res_id,
+               round(coalesce(s.tficf_r, 0.0), 9) AS tficf_r,
+               row_number() OVER (PARTITION BY sc.url, sc.para_idx, sc."offset"
+                 ORDER BY round(coalesce(s.tficf_r, 0.0), 9) DESC, sc.res_id) AS _rk
+        FROM sc LEFT JOIN scores s USING (url, para_idx, win, res_id))
+      SELECT f.url, f.para_idx, f."offset", f.sf, f.res_id,
+             e.tficf_score
+      FROM top1 f
+      JOIN ${p("p_tficf_top1")} e
+        ON f.url = e.url AND f.para_idx = e.para_idx
+       AND f."offset" = e."offset" AND f.res_id = e.res_id
+      WHERE f._rk = 1 AND abs(f.tficf_r - e.tficf_score) < 1e-6""",
+    // The AIDA/CoNLL reader re-walked from the raw lines: doc markers,
+    // token-line fields, and the detokenization offset arithmetic
+    // (each token is len+1 chars; the "'s : , ! ." punctuation set
+    // deletes its preceding space — exclusive prefix sum per document,
+    // matching Corpora.parseConllDocs's StringBuilder walk).
+    "p_conll_gold" -> s"""
+      WITH parsed AS (
+        SELECT line_no,
+          regexp_matches(line, '^-DOCSTART- \\((\\d+)(.+)\\)') AS is_doc,
+          regexp_extract(line, '^-DOCSTART- \\((\\d+)(.+)\\)', 1) AS doc_id,
+          regexp_extract(line, '^-DOCSTART- \\((\\d+)(.+)\\)', 2) AS doc_label,
+          regexp_matches(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$') AS is_tok,
+          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 1) AS f_tok,
+          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 2) AS f_bio,
+          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 3) AS f_sf,
+          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 4) AS f_uri,
+          trim(line) AS plain
+        FROM ${p("p_conll_raw")}),
+      docs AS (
+        SELECT *, max(CASE WHEN is_doc THEN line_no END)
+                   OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS doc_start
+        FROM parsed),
+      hdr AS (
+        SELECT line_no AS doc_start,
+               doc_id || '_' || replace(trim(doc_label), ' ', '_') AS url
+        FROM parsed WHERE is_doc),
+      toks AS (
+        SELECT d.line_no, d.doc_start, h.url,
+               CASE WHEN d.is_tok THEN d.f_tok ELSE d.plain END AS token,
+               CASE WHEN d.is_tok THEN d.f_bio ELSE '' END AS bio,
+               CASE WHEN d.is_tok THEN d.f_sf ELSE '' END AS sf,
+               CASE WHEN d.is_tok THEN d.f_uri ELSE '' END AS uri,
+               row_number() OVER (PARTITION BY d.doc_start ORDER BY d.line_no) AS ti
+        FROM docs d JOIN hdr h USING (doc_start)
+        WHERE NOT d.is_doc),
+      offs AS (
+        SELECT *, CAST(coalesce(sum(len(token) + 1
+                  - CASE WHEN token IN ('''s', ':', ',', '!', '.') AND ti > 1
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_start ORDER BY ti
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS "offset"
+        FROM toks)
+      SELECT url, CAST(1 AS INT) AS para_idx, uri, sf, "offset"
+      FROM offs WHERE bio = 'B'""")
 }

@@ -101,4 +101,39 @@ class Round3FeaturesSpec extends AnyFunSuite {
     // above double the incumbent) is dropped
     assert(resolved == Set((7, "New York City")))
   }
+
+  test("A4 inverted index equals weight × paragraph histogram (oracle derivation)") {
+    // The p_entity_contexts DuckDB oracle re-derives the inverted index
+    // as resolved-occurrence weight × the paragraph's emitted token
+    // histogram. That derivation is valid only while every fixture
+    // paragraph fits the 200-word narrowContext cap (then the occurrence
+    // context IS the paragraph stream); assert the precondition and
+    // mirror the whole derivation in Spark so a fixture or A4 change
+    // that breaks the oracle fails here first, with a readable diff.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Annotate
+    import graft.modelbuild.ModelBuild
+    import graft.sources.{NTriples, SyntheticCorpus}
+    import graft.disambig.Disambiguator
+    val m = Annotate.syntheticModel(spark, 24)
+    val maxWords = m.paragraphs
+      .select(max(size(split(col("para_text"), " ")))).head().getInt(0)
+    assert(maxWords <= 200, "fixture paragraph exceeds the narrowContext cap")
+    val disambigs = NTriples.stripNamespace(
+      NTriples.fromStrings(spark, SyntheticCorpus.disambiguationsNt), ns)
+    val resolved = ModelBuild.resolvedOccurrences(m.occurrences, m.closure, disambigs)
+    val hist = Disambiguator.docTokenHistogram(m.paragraphs, m.tokenTypes)
+      .groupBy("url", "para_idx", "token_id").agg(sum("q_cnt").as("q"))
+    val derived = resolved
+      .join(m.resources.select("res_id", "uri"), Seq("uri"))
+      .join(hist, Seq("url", "para_idx"))
+      .groupBy("res_id", "token_id")
+      .agg(sum(col("weight") * col("q")).as("count"))
+      .select("res_id", "token_id", "count")
+    val expected = m.entityContexts.toDF()
+      .orderBy("res_id", "token_id").collect().toSeq
+    val got = derived.orderBy("res_id", "token_id").collect().toSeq
+    assert(got == expected)
+  }
 }
