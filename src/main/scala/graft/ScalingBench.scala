@@ -19,7 +19,7 @@ import graft.pipeline.Annotate
  * discarded warmup per level (JIT + code cache), best-of-`runs`
  * reported (throughput capability; the median of 2 is just the max).
  *
- * Usage: runMain graft.ScalingBench [nDocs] [small] [large] [runs]
+ * Usage: runMain graft.ScalingBench [nDocs] [small] [large] [runs] [shufflePartitions]
  * Prints one JSON line per (level, run) plus a final summary line.
  */
 object ScalingBench {
@@ -27,14 +27,18 @@ object ScalingBench {
   final case class Counters(paragraphs: Long, occurrences: Long,
                             spots: Long, annotations: Long, triples: Long)
 
-  private def runOnce(cpus: Int, nDocs: Long): (Double, Counters) = {
+  private def runOnce(cpus: Int, nDocs: Long, shufflePartitions: Int): (Double, Counters) = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     // IDENTICAL shuffle partitioning at both levels: partition count must
-    // not vary with the core count under test, or the comparison measures
+    // not vary with the CORE COUNT under test, or the comparison measures
     // spill behavior (2 giant partitions vs 8 small ones), not scaling —
     // observed as a bogus super-linear 1.14 efficiency before this fix.
-    val spark = GraftSession.builder(s"local[$cpus]", 32)
+    // It may legitimately vary with CORPUS size (arg 5): the 1.2M-doc
+    // probe showed the pinned-32 default accumulating 4× the per-partition
+    // volume of its 300k design point (BASELINE.md), which is what a real
+    // deployment avoids by sizing partitions ∝ input / letting AQE coalesce.
+    val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions)
       .appName(s"graft-scaling-$cpus")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,11 +76,12 @@ object ScalingBench {
     val small = args.lift(1).map(_.toInt).getOrElse(2)
     val large = args.lift(2).map(_.toInt).getOrElse(8)
     val runs = args.lift(3).map(_.toInt).getOrElse(3)
+    val shufflePartitions = args.lift(4).map(_.toInt).getOrElse(32)
 
     def measure(cpus: Int): (Double, Counters) = {
-      runOnce(cpus, math.max(nDocs / 5, 500)) // discarded warmup: JIT, classloading
+      runOnce(cpus, math.max(nDocs / 5, 500), shufflePartitions) // discarded warmup: JIT, classloading
       val results = (1 to runs).map { r =>
-        val (secs, c) = runOnce(cpus, nDocs)
+        val (secs, c) = runOnce(cpus, nDocs, shufflePartitions)
         println(f"""{"level":"local[$cpus]","run":$r,"sec":$secs%.2f,"docs":$nDocs,"docs_per_sec":${nDocs / secs}%.1f,"triples":${c.triples}}""")
         (secs, c)
       }
