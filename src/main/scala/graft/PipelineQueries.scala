@@ -206,10 +206,20 @@ object PipelineQueries {
         graft.eval.CorpusFixtures.kbpAnswerLines, kb, paras)
     }),
     "p_csaw_gold" -> ((s, _) => {
-      // CSAW corpus reader over the bundled fixture
+      // CSAW corpus reader over the bundled fixture; the DuckDB oracle
+      // re-parses the raw annotation XML + texts (p_csaw_raw) and
+      // re-runs the substring sf recovery independently
       import s.implicits._
       val texts = graft.eval.CorpusFixtures.csawDocs.toDF("url", "para_text")
       graft.eval.Corpora.fromCsawXml(s, texts, graft.eval.CorpusFixtures.csawXml)._1
+    }),
+    "p_csaw_raw" -> ((s, _) => {
+      // the CSAW reader's two raw inputs in one tagged table: document
+      // texts plus the single annotation-XML payload
+      import s.implicits._
+      (graft.eval.CorpusFixtures.csawDocs.map { case (u, t) => ("text", u, t) } :+
+        (("xml", "", graft.eval.CorpusFixtures.csawXml)))
+        .toDF("kind", "url", "payload")
     }),
     "p_xml_out" -> ((s, _) =>
       // S16 XML serializer over the pipeline's own annotations
@@ -876,5 +886,26 @@ object PipelineQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS "offset"
         FROM toks)
       SELECT url, CAST(1 AS INT) AS para_idx, uri, sf, "offset"
-      FROM offs WHERE bio = 'B'""")
+      FROM offs WHERE bio = 'B'""",
+    // The CSAW reader re-walked from the raw inputs: annotation elements
+    // split out of the XML payload with RE2, unlinkable (empty wikiName)
+    // records dropped, and the surface form recovered by the same
+    // substring(text, offset+1, length) arithmetic after joining texts.
+    "p_csaw_gold" -> s"""
+      WITH ann AS (
+        SELECT unnest(regexp_extract_all(payload,
+                 '<annotation>(.*?)</annotation>', 1, 's')) AS a
+        FROM ${p("p_csaw_raw")} WHERE kind = 'xml'),
+      fields AS (
+        SELECT regexp_extract(a, '<docName>(.*?)</docName>', 1, 's') AS url,
+               regexp_extract(a, '<wikiName>(.*?)</wikiName>', 1, 's') AS uri,
+               CAST(trim(regexp_extract(a, '<offset>(.*?)</offset>', 1, 's')) AS INT) AS "offset",
+               CAST(trim(regexp_extract(a, '<length>(.*?)</length>', 1, 's')) AS INT) AS len
+        FROM ann),
+      texts AS (SELECT url, payload AS para_text FROM ${p("p_csaw_raw")}
+                WHERE kind = 'text')
+      SELECT f.url, CAST(1 AS INT) AS para_idx, f.uri,
+             substring(t.para_text, f."offset" + 1, f.len) AS sf, f."offset"
+      FROM fields f JOIN texts t USING (url)
+      WHERE f.uri <> ''""")
 }
