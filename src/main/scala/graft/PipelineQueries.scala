@@ -181,9 +181,17 @@ object PipelineQueries {
       // recompute the D3/D4/A4 scoring and aggregation math from it.
       Disambiguator.docTokenHistogram(m(s).paragraphs, m(s).tokenTypes)),
     "p_predose_gold" -> ((s, _) =>
-      // PREDOSE corpus reader over the bundled fixture
+      // PREDOSE corpus reader over the bundled fixture; the DuckDB
+      // oracle re-parses the raw lines (p_predose_raw), including the
+      // Java String.hashCode doc-id fold re-run in modular arithmetic
       graft.eval.Corpora.fromPredoseLines(
         s, graft.eval.CorpusFixtures.predoseLines)._1),
+    "p_predose_raw" -> ((s, _) => {
+      // the raw PREDOSE lines the reader consumes, with ordinals
+      import s.implicits._
+      graft.eval.CorpusFixtures.predoseLines.zipWithIndex
+        .map { case (l, i) => (i + 1, l) }.toDF("line_no", "line")
+    }),
     "p_small_context" -> ((s, _) => {
       // SmallContextOccurrences transform over the CoNLL fixture
       val (g, t) = graft.eval.Corpora.fromConllLines(
@@ -907,5 +915,36 @@ object PipelineQueries {
       SELECT f.url, CAST(1 AS INT) AS para_idx, f.uri,
              substring(t.para_text, f."offset" + 1, f.len) AS sf, f."offset"
       FROM fields f JOIN texts t USING (url)
-      WHERE f.uri <> ''""")
+      WHERE f.uri <> ''""",
+    // The PREDOSE reader re-walked from the raw lines: occurrence rows
+    // matched by the same tab-field pattern, attached to the preceding
+    // text line, and the reader's `"PREDOSE" + line.hashCode` doc id
+    // reproduced exactly — Java String.hashCode (h = h·31 + c over UTF-16
+    // units, signed 32-bit wraparound) as a modular list_reduce fold.
+    "p_predose_gold" -> s"""
+      WITH parsed AS (
+        SELECT line_no, line,
+          regexp_matches(line, '^(\\d+)\\t(\\d+)\\t(.+?)\\t(\\S+)$$') AS is_occ,
+          regexp_extract(line, '^(\\d+)\\t(\\d+)\\t(.+?)\\t(\\S+)$$', 1) AS f_start,
+          regexp_extract(line, '^(\\d+)\\t(\\d+)\\t(.+?)\\t(\\S+)$$', 3) AS f_label,
+          regexp_extract(line, '^(\\d+)\\t(\\d+)\\t(.+?)\\t(\\S+)$$', 4) AS f_uri,
+          (line <> '' AND NOT regexp_matches(line, '^(\\d+)\\t(\\d+)\\t(.+?)\\t(\\S+)$$')) AS is_text
+        FROM ${p("p_predose_raw")}),
+      texts AS (
+        SELECT line_no AS doc_start,
+          'PREDOSE' || CAST(CAST(
+            ((list_reduce(list_transform(regexp_extract_all(line, '.'),
+                c -> CAST(unicode(c) AS BIGINT)),
+              (acc, c) -> (acc * 31 + c) % 4294967296) + 2147483648) % 4294967296)
+            - 2147483648 AS BIGINT) AS VARCHAR) AS url
+        FROM parsed WHERE is_text),
+      occs AS (
+        SELECT p.line_no, p.f_start, p.f_label, p.f_uri,
+               max(CASE WHEN p2.is_text THEN p2.line_no END) AS doc_start
+        FROM parsed p JOIN parsed p2 ON p2.line_no <= p.line_no
+        WHERE p.is_occ
+        GROUP BY ALL)
+      SELECT t.url, CAST(1 AS INT) AS para_idx, o.f_uri AS uri, o.f_label AS sf,
+             CAST(o.f_start AS INT) AS "offset"
+      FROM occs o JOIN texts t USING (doc_start)""")
 }
