@@ -200,9 +200,18 @@ object PipelineQueries {
       smallText
     }),
     "p_milnewitten_gold" -> ((s, _) =>
-      // MilneWitten corpus reader over the bundled fixture
+      // MilneWitten corpus reader over the bundled fixture; the DuckDB
+      // oracle re-walks the [[uri|sf|conf]] links and the clean-text
+      // offset arithmetic from the raw paragraphs (p_milnewitten_raw)
       graft.eval.Corpora.fromMilneWittenParagraphs(
         s, graft.eval.CorpusFixtures.milneWittenDocs)._1),
+    "p_milnewitten_raw" -> ((s, _) => {
+      // the raw MilneWitten markup paragraphs the reader consumes
+      import s.implicits._
+      graft.eval.CorpusFixtures.milneWittenDocs.flatMap { case (title, paras) =>
+        paras.zipWithIndex.map { case (para, i) => (title, i + 1, para) }
+      }.toDF("url", "para_idx", "para")
+    }),
     "p_kbp_gold" -> ((s, _) => {
       // KBP corpus reader over the bundled fixture
       import s.implicits._
@@ -946,5 +955,36 @@ object PipelineQueries {
         GROUP BY ALL)
       SELECT t.url, CAST(1 AS INT) AS para_idx, o.f_uri AS uri, o.f_label AS sf,
              CAST(o.f_start AS INT) AS "offset"
-      FROM occs o JOIN texts t USING (doc_start)""")
+      FROM occs o JOIN texts t USING (doc_start)""",
+    // The MilneWitten reader re-walked from the raw markup paragraphs:
+    // a recursive CTE consumes one [[uri|sf|conf]] link per step,
+    // accumulating the clean-text length (gold offsets are positions in
+    // the link-stripped text), with the reader's degenerate-link drop
+    // ([[|]]-style empty uri) and confidence fallback (non-numeric or
+    // missing 3rd field → 1.0) reproduced via try_cast.
+    "p_milnewitten_gold" -> s"""
+      WITH RECURSIVE walk(url, para_idx, rest, clean_len, uri, sf, confidence, "offset") AS (
+        SELECT url, para_idx, trim(para), 0,
+               NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE, NULL::INT
+        FROM ${p("p_milnewitten_raw")}
+        UNION ALL
+        SELECT w.url, w.para_idx,
+          substring(w.rest, lk.pos + len(lk.lnk) + 4),
+          w.clean_len + lk.pos - 1 + CASE WHEN lk.f_uri <> '' THEN len(lk.f_sf) ELSE 0 END,
+          CASE WHEN lk.f_uri <> '' THEN lk.f_uri END,
+          CASE WHEN lk.f_uri <> '' THEN lk.f_sf END,
+          CASE WHEN lk.f_uri <> '' THEN lk.f_conf END,
+          CASE WHEN lk.f_uri <> '' THEN CAST(w.clean_len + lk.pos - 1 AS INT) END
+        FROM walk w, LATERAL (
+          SELECT pos, lnk, parts,
+            parts[1] AS f_uri,
+            CASE WHEN len(parts) > 1 AND parts[2] <> '' THEN parts[2] ELSE parts[1] END AS f_sf,
+            CASE WHEN len(parts) > 2 THEN coalesce(try_cast(parts[3] AS DOUBLE), 1.0)
+                 ELSE 1.0 END AS f_conf
+          FROM (SELECT strpos(w.rest, '[[') AS pos,
+                       regexp_extract(w.rest, '\\[\\[(.*?)\\]\\]', 1) AS lnk,
+                       string_split(regexp_extract(w.rest, '\\[\\[(.*?)\\]\\]', 1), '|') AS parts) t) lk
+        WHERE regexp_matches(w.rest, '\\[\\[(.*?)\\]\\]'))
+      SELECT url, para_idx, uri, sf, "offset", confidence
+      FROM walk WHERE uri IS NOT NULL""")
 }
