@@ -212,8 +212,21 @@ object PipelineQueries {
         paras.zipWithIndex.map { case (para, i) => (title, i + 1, para) }
       }.toDF("url", "para_idx", "para")
     }),
+    "p_kbp_raw" -> ((s, _) => {
+      // the KBP reader's four raw inputs in one tagged table: queries
+      // XML, KB XML, the SGM document, and the answer tab lines
+      import s.implicits._
+      (Seq(
+        ("queries_xml", graft.eval.CorpusFixtures.kbpQueriesXml),
+        ("kb_xml", graft.eval.CorpusFixtures.kbpKbXml),
+        ("sgm", graft.eval.CorpusFixtures.kbpSgm)) ++
+        graft.eval.CorpusFixtures.kbpAnswerLines.map(("answer", _)))
+        .toDF("kind", "payload")
+    }),
     "p_kbp_gold" -> ((s, _) => {
-      // KBP corpus reader over the bundled fixture
+      // KBP corpus reader over the bundled fixture; the DuckDB oracle
+      // re-parses all four raw inputs (p_kbp_raw) and re-runs the
+      // query→answer→KB joins and the locate-based paragraph anchoring
       import s.implicits._
       val kb = graft.eval.Corpora.kbpKbFromXml(s, graft.eval.CorpusFixtures.kbpKbXml)
       val paras = graft.eval.Corpora.kbpSgmParagraphs(graft.eval.CorpusFixtures.kbpSgm)
@@ -986,5 +999,46 @@ object PipelineQueries {
                        string_split(regexp_extract(w.rest, '\\[\\[(.*?)\\]\\]', 1), '|') AS parts) t) lk
         WHERE regexp_matches(w.rest, '\\[\\[(.*?)\\]\\]'))
       SELECT url, para_idx, uri, sf, "offset", confidence
-      FROM walk WHERE uri IS NOT NULL""")
+      FROM walk WHERE uri IS NOT NULL""",
+    // The KBP reader re-walked from its four raw inputs: query elements
+    // and KB entity attributes regexp-parsed, NIL answers dropped,
+    // wiki_title → uri via the space→underscore step of wikiEncode (the
+    // fixture titles carry no percent-encodable characters — a title
+    // that needs %-escapes would fail this oracle loudly), SGM <P>/<POST>
+    // paragraphs newline-collapsed + trimmed, and the reference's
+    // locate-based first-offset anchoring per containing paragraph.
+    "p_kbp_gold" -> s"""
+      WITH q AS (
+        SELECT regexp_extract(e, '<query id="(.*?)">', 1) AS qid,
+               regexp_extract(e, '<name>(.*?)</name>', 1) AS sf,
+               regexp_extract(e, '<docid>(.*?)</docid>', 1) AS url
+        FROM (SELECT unnest(regexp_extract_all(payload, '<query .*?</query>', 0, 's')) AS e
+              FROM ${p("p_kbp_raw")} WHERE kind = 'queries_xml')),
+      a AS (
+        SELECT string_split(payload, chr(9))[1] AS qid,
+               string_split(payload, chr(9))[2] AS kb_id
+        FROM ${p("p_kbp_raw")} WHERE kind = 'answer'
+          AND len(string_split(payload, chr(9))) >= 2
+          AND NOT starts_with(string_split(payload, chr(9))[2], 'NIL')),
+      kb AS (
+        SELECT regexp_extract(e, 'id="(.*?)"', 1) AS kb_id,
+               replace(regexp_extract(e, 'wiki_title="(.*?)"', 1), ' ', '_') AS uri
+        FROM (SELECT unnest(regexp_extract_all(payload, '<entity [^>]*/>', 0, 's')) AS e
+              FROM ${p("p_kbp_raw")} WHERE kind = 'kb_xml')
+        WHERE regexp_extract(e, 'id="(.*?)"', 1) <> ''
+          AND regexp_extract(e, 'wiki_title="(.*?)"', 1) <> ''),
+      plist AS (
+        SELECT regexp_extract(payload, '<DOCID>(.*?)</DOCID>', 1) AS url,
+               list_concat(regexp_extract_all(payload, '<P>(.*?)</P>', 1, 's'),
+                           regexp_extract_all(payload, '<POST>(.*?)</POST>', 1, 's')) AS ps
+        FROM ${p("p_kbp_raw")} WHERE kind = 'sgm'),
+      paras AS (
+        SELECT pl.url, CAST(i.i AS INT) AS para_idx,
+               trim(replace(pl.ps[i.i], chr(10), ' ')) AS para_text
+        FROM plist pl, LATERAL (SELECT unnest(generate_series(1, len(pl.ps))) AS i) i
+        WHERE trim(replace(pl.ps[i.i], chr(10), ' ')) <> '')
+      SELECT p2.url, p2.para_idx, kb.uri, q.sf,
+             CAST(strpos(p2.para_text, q.sf) - 1 AS INT) AS "offset"
+      FROM q JOIN a USING (qid) JOIN kb USING (kb_id) JOIN paras p2 USING (url)
+      WHERE strpos(p2.para_text, q.sf) > 0""")
 }
