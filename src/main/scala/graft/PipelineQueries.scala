@@ -701,9 +701,9 @@ object PipelineQueries {
         WHERE len(s.w) > 1),
       corr AS (SELECT sub_sf AS sf, SUM(annotated_count) AS c FROM sub GROUP BY 1)
       SELECT f.sf_id, f.sf, f.sf_normalized, f.annotated_count,
-             CASE WHEN f.total_count > 0
+             CAST(CASE WHEN f.total_count > 0
                   THEN greatest(f.total_count - coalesce(c.c, 0), f.annotated_count)
-                  ELSE f.total_count END AS total_count
+                  ELSE f.total_count END AS BIGINT) AS total_count
       FROM sfs f LEFT JOIN corr c ON f.sf = c.sf""",
     // A4 re-derived: the inverted index as resolved-occurrence weight ×
     // the paragraph's token histogram (narrowContext is the identity on

@@ -48,8 +48,11 @@ object Disambiguator {
    *  carried along for the language-model smoothing term.
    *
    *  `win` is the D1 MAX_CONTEXT window (token index ÷ maxContextTokens
-   *  over the FULL token stream, stopwords included — the same slicing
-   *  the reference applies before every bestK call,
+   *  over the FULL token stream, stopwords included — a token-aligned
+   *  approximation of the windowing the reference applies before every
+   *  bestK call; the reference accumulates whole sentences until ≥ the
+   *  cap, so assignments differ only for over-cap paragraphs — see
+   *  [[graft.pipeline.Annotate.MaxContextTokens]],
    *  DBTwoStepDisambiguator.scala:71,91-118). Every paragraph at or under
    *  the cap is a single window 0; the cap exists so one megabyte-long
    *  spam paragraph cannot multiply its full histogram into every

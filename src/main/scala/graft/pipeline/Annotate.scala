@@ -108,18 +108,27 @@ object Annotate {
   /**
    * D1 MAX_CONTEXT (= 250, DBTwoStepDisambiguator.scala:71): the
    * reference slices a paragraph whose token stream exceeds the cap into
-   * ~250-token windows and disambiguates each occurrence against its own
-   * window's tokens (bestK:89-117), WITHOUT rewriting offsets. The
-   * Spark-native equivalent: spots carry a `win` index assigned in the
-   * spotting map pass ([[Spotter.spots]]), the token histogram is keyed
-   * per (url, para_idx, win) ([[Disambiguator.docTokenHistogram]]), and
-   * the context join matches them — so a megabyte-long spam paragraph
+   * windows and disambiguates each occurrence against its own window's
+   * tokens (bestK:89-117), WITHOUT rewriting offsets. The Spark-native
+   * equivalent: spots carry a `win` index assigned in the spotting map
+   * pass ([[Spotter.spots]]), the token histogram is keyed per
+   * (url, para_idx, win) ([[Disambiguator.docTokenHistogram]]), and the
+   * context join matches them — so a megabyte-long spam paragraph
    * cannot multiply its full histogram into every candidate of every
    * spot it contains, while every emitted annotation keeps its ORIGINAL
    * (url, para_idx, offset) key (round-2 advice: the previous
    * re-paragraphing approach leaked synthetic keys to eval joins).
-   * Paragraphs at or under the cap are a single window — behavior is
-   * byte-identical for every bundled corpus.
+   *
+   * Window PLACEMENT is a deliberate token-aligned approximation: the
+   * reference accumulates whole SENTENCES until ≥250 tokens (its windows
+   * are sentence-aligned and may overshoot the cap; its oversize gate
+   * even counts sentences), while graft cuts fixed 250-token windows,
+   * possibly mid-sentence. The two assignments differ only for
+   * paragraphs whose token stream exceeds the cap — oversized crawl
+   * text; every bundled corpus paragraph fits one window, where behavior
+   * is byte-identical. Token alignment keeps `win` recomputable by the
+   * DuckDB oracle (`pos // 250` over the emitted token stream) and needs
+   * no sentence segmentation in the hot map pass.
    */
   val MaxContextTokens = 250
 

@@ -22,9 +22,13 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.textops.Dedup")
 
-  // one listener per session; names made unique per boundBuckets call
-  private val observedSessions = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  // one listener per session, guarded WEAKLY (a strong ref here would
+  // pin every stopped SparkSession — ScalingBench creates one per run —
+  // plus its registered listeners for the JVM lifetime; WeakHashMap lets
+  // stopped sessions and their listener graphs be collected)
+  private val observedSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Log oversized-bucket drops AFTER the job that computed them runs —

@@ -199,18 +199,26 @@ object Serializers {
         replace(
           when(col("_fs").isNull, col("para_text")).otherwise(
             // fold: acc = (chars consumed, rendered prefix); each step
-            // copies the gap before the spot then the link markup
+            // copies the gap before the spot then the link markup.
+            // Inputs are post-resolveOverlaps annotations (sorted,
+            // in-range, non-overlapping); the greatest() clamps keep a
+            // malformed span (overlap / out-of-range offset) from turning
+            // into a negative-length substr that silently drops text —
+            // the overlapping spot renders with an empty gap instead,
+            // and pos only ever advances.
             aggregate(col("_fs"),
               struct(lit(0).as("pos"), lit("").as("acc")),
               (acc: Column, x: Column) => struct(
-                (x.getField("offset") + x.getField("sflen")).as("pos"),
+                greatest(acc.getField("pos"),
+                  x.getField("offset") + x.getField("sflen")).as("pos"),
                 concat(acc.getField("acc"),
                   col("para_text").substr(acc.getField("pos") + 1,
-                    x.getField("offset") - acc.getField("pos")),
+                    greatest(lit(0), x.getField("offset") - acc.getField("pos"))),
                   x.getField("link")).as("acc")),
               acc => concat(acc.getField("acc"),
                 col("para_text").substr(acc.getField("pos") + 1,
-                  length(col("para_text")) - acc.getField("pos"))))),
+                  greatest(lit(0),
+                    length(col("para_text")) - acc.getField("pos")))))),
           lit("\n"), lit("<br/>")).as("content"))
   }
 
