@@ -275,6 +275,29 @@ object PipelineQueries {
       // S16 /candidates document: full ranked candidate list per spot
       graft.triples.Serializers.toCandidatesXml(
         SparkEntry.scored(s), m(s).paragraphs.toDF())),
+    "p_ann_render" -> ((s, _) =>
+      // raw-emission sidecar for the serializer oracles: the SAME
+      // double->string cast (Java Double.toString) the XML/RDFa
+      // fragments use, emitted per annotation so DuckDB can re-assemble
+      // the serialized documents by pure string concat — the float
+      // formatting is the only non-ANSI step and passes through here
+      // (gated against p_annotations' hash-verified scores in its own
+      // oracle)
+      Annotate.annotationsFrom(s, SparkEntry.scored(s)).toDF()
+        .select(col("url"), col("para_idx"), col("offset"), col("sf"),
+          col("uri"), col("support"),
+          concat_ws(",", col("types")).as("types_str"),
+          col("similarity_score").cast("string").as("sim_str"),
+          col("percentage_of_second_rank").cast("string").as("pct_str"))),
+    "p_cand_render" -> ((s, _) =>
+      // same sidecar for the /candidates document: one row per ranked
+      // candidate (p_scored keys), with the stringified attribute set
+      SparkEntry.scored(s)
+        .select(col("url"), col("para_idx"), col("offset"), col("sf"),
+          col("rank"), col("uri"), col("support"),
+          concat_ws(",", col("types")).as("types_str"),
+          col("similarity_score").cast("string").as("sim_str"),
+          col("percentage_of_second_rank").cast("string").as("pct_str"))),
     "p_eval_gate" -> ((s, _) => {
       // single-row P/R + accuracy summary — the ≥0.95 gate, queryable
       val mm = m(s)
@@ -305,6 +328,89 @@ object PipelineQueries {
     * total_count — pass through from the table under test). */
   val OutPlaceholder = "__OUT__"
   private def p(name: String) = s"'$OutPlaceholder/$name.parquet/*.parquet'"
+
+  // ---- serializer-oracle SQL building blocks (S16 family) ----------------
+  // The XML/HTML/RDFa/NIF documents are re-assembled in DuckDB by pure
+  // string concat from p_paragraphs + p_annotations + the render sidecars
+  // (p_ann_render / p_cand_render carry the Spark-side Java
+  // Double.toString score strings — the one non-ANSI step — gated against
+  // the hash-verified double columns in their own oracles below).
+
+  /** [[graft.triples.Serializers]]' xmlEsc replicated in DuckDB
+    * (ampersand first, same order). */
+  private def xmlEscSql(x: String): String =
+    s"""replace(replace(replace(replace(replace($x,
+       '&','&amp;'), '<','&lt;'), '>','&gt;'), '"','&quot;'), '''','&apos;')"""
+
+  /** ntEsc (backslash first); backslashes spelled chr(92) so the string
+    * survives the Scala-interpolation and DuckDB quoting layers intact. */
+  private def ntEscSql(x: String): String =
+    s"""replace(replace(replace(replace($x,
+       chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+       chr(10), chr(92)||'n'), chr(13), chr(92)||'r')"""
+
+  /** Serializers.iri: http passthrough, DBpedia:/Schema: class prefixes,
+    * else the resource namespace. */
+  private def iriSql(x: String): String =
+    s"""CASE WHEN $x LIKE 'http%' THEN $x
+        WHEN $x LIKE 'DBpedia:%' THEN 'http://dbpedia.org/ontology/' || $x[9:]
+        WHEN $x LIKE 'Schema:%' THEN 'http://schema.org/' || $x[8:]
+        ELSE 'http://dbpedia.org/resource/' || $x END"""
+
+  /** Per-candidate `<Resource .../>` fragment over a render-sidecar row
+    * (attribute set of rest/.../OutputManager.java:125-133). */
+  private def resFragSql: String =
+    s"""'<Resource URI="' || ${xmlEscSql("uri")} || '" support="' || support
+       || '" types="' || ${xmlEscSql("types_str")} || '" surfaceForm="' || ${xmlEscSql("sf")}
+       || '" offset="' || "offset" || '" similarityScore="' || sim_str
+       || '" percentageOfSecondRank="' || pct_str || '"/>'"""
+
+  /** `<?xml ...?><Annotation text="..." confidence support>` opening
+    * (expects paragraph alias `p`). */
+  private def xmlHeaderSql: String =
+    s"""'<?xml version="1.0" encoding="utf-8"?>' || chr(10) ||
+       '<Annotation text="' || ${xmlEscSql("p.para_text")} ||
+       '" confidence="0.1" support="10">'"""
+
+  private def htmlMainSql: String =
+    """'<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN" "http://www.w3.org/TR/html4/loose.dtd">' || chr(10) ||
+       '<html>' || chr(10) || '<head>' || chr(10) || '<title>DBpedia Spotlight annotation</title>' || chr(10) ||
+       '<meta http-equiv="Content-type" content="text/html;charset=UTF-8">' || chr(10) ||
+       '</head>' || chr(10) || '<body>' || chr(10) || '<div>' || chr(10)"""
+
+  private def rdfaMainSql: String =
+    """'<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+       '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML+RDFa 1.0//EN" "http://www.w3.org/MarkUp/DTD/xhtml-rdfa-1.dtd">' || chr(10) ||
+       '<html xmlns="http://www.w3.org/1999/xhtml" xmlns:lexvo="http://lexvo.org/ontology#" xmlns:dbpedia="http://dbpedia.org/resource/" xmlns:dbpo="http://dbpedia.org/ontology/">' || chr(10) ||
+       '<head>' || chr(10) || '<title>DBpedia Spotlight annotation</title>' || chr(10) || '</head>' || chr(10) ||
+       '<body>' || chr(10) || '<div>' || chr(10)"""
+
+  private def mainEndSql: String =
+    """chr(10) || '</div>' || chr(10) || '</body>' || chr(10) || '</html>'"""
+
+  /** Serializers.spliceLinks as a lag-window rewrite: each annotation
+    * contributes (gap-before-it || link), ordered by offset, plus the
+    * post-last-spot tail; annotations are post-resolveOverlaps so the
+    * gaps are non-negative by construction. */
+  private def spliceSql(linkExpr: String, src: String): String =
+    s"""
+    WITH ann AS (
+      SELECT a.url, a.para_idx, a."offset", len(a.sf) AS sflen, p.para_text,
+             $linkExpr AS link,
+             coalesce(lag(a."offset" + len(a.sf)) OVER
+               (PARTITION BY a.url, a.para_idx ORDER BY a."offset"), 0) AS prev_end
+      FROM $src a JOIN ${p("p_paragraphs")} p USING (url, para_idx)),
+    docs AS (
+      SELECT url, para_idx,
+        string_agg(substr(para_text, prev_end + 1, "offset" - prev_end) || link,
+                   '' ORDER BY "offset")
+          || substr(any_value(para_text), max("offset" + sflen) + 1) AS content
+      FROM ann GROUP BY url, para_idx)"""
+
+  private val NifNs = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#"
+  private val ItsRdfNs = "http://www.w3.org/2005/11/its/rdf#"
+  private val XsdNonNeg = "^^<http://www.w3.org/2001/XMLSchema#nonNegativeInteger>"
+  private val NifPrefix = "http://spotlight.dbpedia.org/annotate"
 
   /** DuckDB oracles for the model-build family (VERDICT r2 item 3:
     * graduate these from rows-only to hash-verified). All recompute the
@@ -1040,5 +1146,133 @@ object PipelineQueries {
       SELECT p2.url, p2.para_idx, kb.uri, q.sf,
              CAST(strpos(p2.para_text, q.sf) - 1 AS INT) AS "offset"
       FROM q JOIN a USING (qid) JOIN kb USING (kb_id) JOIN paras p2 USING (url)
-      WHERE strpos(p2.para_text, q.sf) > 0""")
+      WHERE strpos(p2.para_text, q.sf) > 0""",
+
+    // ---- S16 serializer family (VERDICT r3 item 5: graduate to
+    // hash-verified). Each document is re-assembled by string concat from
+    // p_paragraphs + the annotation tables; the Java Double.toString
+    // score strings pass through via the render sidecars, whose own
+    // oracles gate them against the hash-verified double columns.
+
+    // OutputManager.getResourcesXml + makeXML (rest/.../OutputManager
+    // .java:78-141): one <Annotation> per paragraph wrapping offset-sorted
+    // <Resource/> fragments.
+    "p_xml_out" -> s"""
+      WITH ann AS (
+        SELECT url, para_idx, "offset", $resFragSql AS frag
+        FROM ${p("p_ann_render")}),
+      res AS (
+        SELECT url, para_idx, string_agg(frag, '' ORDER BY "offset") AS resources
+        FROM ann GROUP BY url, para_idx)
+      SELECT p.url, p.para_idx,
+        $xmlHeaderSql ||
+        coalesce('<Resources>' || r.resources || '</Resources>', '') ||
+        '</Annotation>' AS xml
+      FROM ${p("p_paragraphs")} p LEFT JOIN res r USING (url, para_idx)""",
+
+    // OutputManager.makeCandidatesXML (rest/.../OutputManager.java:143-191):
+    // rank-sorted <Resource/> lists nested in offset-sorted <SurfaceForm>.
+    "p_candidates_xml" -> s"""
+      WITH cand AS (
+        SELECT url, para_idx, "offset", sf, rank, $resFragSql AS frag
+        FROM ${p("p_cand_render")}),
+      spot AS (
+        SELECT url, para_idx, "offset",
+          '<SurfaceForm surfaceForm="' || ${xmlEscSql("sf")} || '" offset="' || "offset" ||
+          '" visibility="true"><Resources>' || string_agg(frag, '' ORDER BY rank) ||
+          '</Resources></SurfaceForm>' AS sfelem
+        FROM cand GROUP BY url, para_idx, "offset", sf),
+      doc AS (
+        SELECT url, para_idx, string_agg(sfelem, '' ORDER BY "offset") AS sfs
+        FROM spot GROUP BY url, para_idx)
+      SELECT p.url, p.para_idx,
+        $xmlHeaderSql ||
+        coalesce('<SurfaceForms>' || d.sfs || '</SurfaceForms>', '') ||
+        '</Annotation>' AS xml
+      FROM ${p("p_paragraphs")} p LEFT JOIN doc d USING (url, para_idx)""",
+
+    // NIFOutputFormatter (rest/.../NIFOutputFormatter.scala:43-84): four
+    // nif:Context triples per paragraph + six nif:Phrase triples per
+    // annotation, all integer/string-typed (no float passthrough needed).
+    "p_nif_out" -> s"""
+      WITH ctx AS (
+        SELECT '<$NifPrefix/' || url || '/' || para_idx || '#char=0,' || len(para_text) || '>' AS s,
+               para_text, len(para_text) AS plen
+        FROM ${p("p_paragraphs")}),
+      ctxlines AS (
+        SELECT unnest([
+          s || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <${NifNs}Context> .',
+          s || ' <${NifNs}beginIndex> "0"$XsdNonNeg .',
+          s || ' <${NifNs}endIndex> "' || plen || '"$XsdNonNeg .',
+          s || ' <${NifNs}isString> "' || ${ntEscSql("para_text")} || '" .']) AS line
+        FROM ctx),
+      ph AS (
+        SELECT '<$NifPrefix/' || a.url || '/' || a.para_idx || '#char=' || a."offset" || ',' ||
+                 (a."offset" + len(a.sf)) || '>' AS s,
+               '<$NifPrefix/' || a.url || '/' || a.para_idx || '#char=0,' || len(p.para_text) || '>' AS ctxuri,
+               a.sf, a."offset", a."offset" + len(a.sf) AS endoff,
+               CASE WHEN a.uri LIKE 'http%' THEN a.uri
+                    ELSE 'http://dbpedia.org/resource/' || a.uri END AS iri
+        FROM ${p("p_annotations")} a
+        JOIN ${p("p_paragraphs")} p USING (url, para_idx)),
+      phlines AS (
+        SELECT unnest([
+          s || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <${NifNs}Phrase> .',
+          s || ' <${NifNs}beginIndex> "' || "offset" || '"$XsdNonNeg .',
+          s || ' <${NifNs}endIndex> "' || endoff || '"$XsdNonNeg .',
+          s || ' <${NifNs}anchorOf> "' || ${ntEscSql("sf")} || '" .',
+          s || ' <${NifNs}referenceContext> ' || ctxuri || ' .',
+          s || ' <${ItsRdfNs}taIdentRef> <' || iri || '> .']) AS line
+        FROM ph)
+      SELECT line FROM ctxlines UNION ALL SELECT line FROM phlines""",
+
+    // HTMLFormatter + makeWebRepresentation's splice loop
+    // (rest/.../OutputManager.java:251-292), as a lag-window gap rewrite.
+    "p_html_out" -> (spliceSql(
+      s"""'<a href="' || ${iriSql("a.uri")} || '" title="' || ${iriSql("a.uri")} ||
+          '" target="_blank">' || a.sf || '</a>'""",
+      p("p_annotations")) + s"""
+      SELECT p.url, p.para_idx,
+        $htmlMainSql || replace(coalesce(d.content, p.para_text), chr(10), '<br/>') || $mainEndSql AS html
+      FROM ${p("p_paragraphs")} p LEFT JOIN docs d USING (url, para_idx)"""),
+
+    // RDFaFormatter (rest/.../OutputManager.java:294-325): untyped spans
+    // get about/href/title/target, typed ones about/typeof/href/title with
+    // the last (most specific) type's class IRI.
+    "p_rdfa_out" -> (spliceSql(
+      s"""CASE WHEN a.types_str = '' THEN
+            '<a about="' || ${iriSql("a.uri")} || '" href="' || ${iriSql("a.uri")} ||
+            '" title="' || ${iriSql("a.uri")} || '" target="_blank" >' || a.sf || '</a>'
+          ELSE
+            '<a about="' || ${iriSql("a.uri")} || '" typeof="' || ${iriSql("string_split(a.types_str, ',')[-1]")} ||
+            '" href="' || ${iriSql("a.uri")} || '" title="' || ${iriSql("a.uri")} ||
+            '">' || a.sf || '</a>' END""",
+      p("p_ann_render")) + s"""
+      SELECT p.url, p.para_idx,
+        $rdfaMainSql || replace(coalesce(d.content, p.para_text), chr(10), '<br/>') || $mainEndSql AS html
+      FROM ${p("p_paragraphs")} p LEFT JOIN docs d USING (url, para_idx)"""),
+
+    // Render sidecars: keys/types re-derived from hash-verified tables
+    // (p_annotations / p_scored / p_resources); ONLY the Java
+    // Double.toString strings pass through, gated to round-trip back to
+    // the hash-verified doubles exactly.
+    "p_ann_render" -> s"""
+      SELECT a.url, a.para_idx, a."offset", a.sf, a.uri, a.support,
+             r.types AS types_str, s.sim_str, s.pct_str
+      FROM ${p("p_annotations")} a
+      JOIN ${p("p_resources")} r ON a.uri = r.uri
+      JOIN ${p("p_ann_render")} s
+        ON a.url = s.url AND a.para_idx = s.para_idx AND a."offset" = s."offset"
+      WHERE abs(CAST(s.sim_str AS DOUBLE) - a.similarity_score) < 1e-12
+        AND abs(CAST(s.pct_str AS DOUBLE) - a.percentage_of_second_rank) < 1e-12""",
+
+    "p_cand_render" -> s"""
+      SELECT c.url, c.para_idx, c."offset", c.sf, c.rank, c.uri, c.support,
+             r.types AS types_str, s.sim_str, s.pct_str
+      FROM ${p("p_scored")} c
+      JOIN ${p("p_resources")} r ON c.uri = r.uri
+      JOIN ${p("p_cand_render")} s
+        ON c.url = s.url AND c.para_idx = s.para_idx AND c."offset" = s."offset" AND c.rank = s.rank
+      WHERE abs(CAST(s.sim_str AS DOUBLE) - c.similarity_score) < 1e-12
+        AND abs(CAST(s.pct_str AS DOUBLE) - c.percentage_of_second_rank) < 1e-12""")
 }

@@ -80,11 +80,14 @@ final case class EntityContextRow(
     count: Long)
 
 /** Output of the spotting stage (reference: SurfaceFormOccurrence.scala:19-23).
- *  `win` is the spot's D1 MAX_CONTEXT window index — the ~250-token slice
+ *  `win` is the spot's D1 MAX_CONTEXT window index — the ≤250-token slice
  *  of its paragraph whose token histogram scores it (reference
- *  DBTwoStepDisambiguator.bestK:91-118 slices oversized contexts the same
- *  way). 0 for every paragraph at or under the cap; offsets are ALWAYS
- *  paragraph-original, windowing never rewrites keys. */
+ *  DBTwoStepDisambiguator.bestK:91-118 likewise windows oversized
+ *  contexts, though sentence-aligned — see
+ *  [[graft.pipeline.Annotate.MaxContextTokens]] for the deliberate
+ *  token-aligned approximation). 0 for every paragraph at or under the
+ *  cap; offsets are ALWAYS paragraph-original, windowing never rewrites
+ *  keys. */
 final case class SpotRow(
     url: String,
     para_idx: Int,
