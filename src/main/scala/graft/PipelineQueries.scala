@@ -159,6 +159,17 @@ object PipelineQueries {
       val sc = Disambiguator.spotCandidates(SparkEntry.gated(s), mm.surfaceForms, mm.candidates)
       Disambiguator.randomPick(sc, mm.resources, seed = 42L).drop("types")
     }),
+    "p_random_hashes" -> ((s, _) => {
+      // raw-emission sidecar: the same xxhash64 draw randomPick orders
+      // by, one row per (spot, candidate); its oracle re-derives the
+      // candidate set from p_spots/p_surface_forms/p_candidates and
+      // p_random_disambig's oracle re-runs the argmin pick + resource
+      // join in SQL — only the hash value itself passes through
+      val mm = m(s)
+      val sc = Disambiguator.spotCandidates(SparkEntry.gated(s), mm.surfaceForms, mm.candidates)
+      sc.select(col("url"), col("para_idx"), col("offset"), col("sf"), col("res_id"),
+        xxhash64(col("url"), col("para_idx"), col("offset"), col("res_id"), lit(42L)).as("h"))
+    }),
     "p_windowed_ctx" -> ((s, _) => {
       // D1 MAX_CONTEXT: deterministic 600-token paragraph → 3 context
       // windows (win = token index ÷ 250) with dictionary-encoded counts.
@@ -1274,5 +1285,26 @@ object PipelineQueries {
       JOIN ${p("p_cand_render")} s
         ON c.url = s.url AND c.para_idx = s.para_idx AND c."offset" = s."offset" AND c.rank = s.rank
       WHERE abs(CAST(s.sim_str AS DOUBLE) - c.similarity_score) < 1e-12
-        AND abs(CAST(s.pct_str AS DOUBLE) - c.percentage_of_second_rank) < 1e-12""")
+        AND abs(CAST(s.pct_str AS DOUBLE) - c.percentage_of_second_rank) < 1e-12""",
+
+    // D10 random baseline: the candidate set is re-derived from
+    // p_spots/p_surface_forms/p_candidates (the same derivation the
+    // p_scored oracle starts from); only the xxhash64 draw passes
+    // through, and the argmin pick + resource join are re-run in SQL.
+    "p_random_hashes" -> s"""
+      SELECT s.url, s.para_idx, s."offset", s.sf, c.res_id, r.h
+      FROM ${p("p_spots")} s
+      JOIN ${p("p_surface_forms")} f ON s.sf = f.sf
+      JOIN ${p("p_candidates")} c ON f.sf_id = c.sf_id
+      JOIN ${p("p_random_hashes")} r
+        ON r.url = s.url AND r.para_idx = s.para_idx
+       AND r."offset" = s."offset" AND r.res_id = c.res_id""",
+    "p_random_disambig" -> s"""
+      WITH pick AS (
+        SELECT url, para_idx, "offset", sf, res_id,
+               row_number() OVER (PARTITION BY url, para_idx, "offset" ORDER BY h) AS rk
+        FROM ${p("p_random_hashes")})
+      SELECT pk.url, pk.para_idx, pk."offset", pk.sf, r.uri, r.support
+      FROM pick pk JOIN ${p("p_resources")} r USING (res_id)
+      WHERE pk.rk = 1""")
 }

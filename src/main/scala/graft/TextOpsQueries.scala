@@ -57,11 +57,21 @@ object TextOpsQueries {
     "t_minhash_pairs" -> ((s, d) =>
       Dedup.minhashCandidatePairs(docs(s, d), bands = 8, rows = 4)),
 
+    // raw-emission sidecar: the xxhash64-born band keys, emitted pre-cap
+    // so the DuckDB oracles re-derive the cap/join/distinct pair logic of
+    // t_minhash_pairs and the Jaccard-verify of t_near_dups from it
+    "t_minhash_bands" -> ((s, d) =>
+      Dedup.minhashBands(docs(s, d), bands = 8, rows = 4)),
+
     "t_near_dups" -> ((s, d) =>
       Dedup.nearDuplicates(docs(s, d), threshold = 0.5)),
 
     "t_simhash_pairs" -> ((s, d) =>
       Dedup.simhashCandidatePairs(docs(s, d)).filter(col("hamming") <= 16)),
+
+    // raw-emission sidecar: per-doc 64-bit simhash signatures; the chunk
+    // split, cap, pair join and hamming distance are re-derived in SQL
+    "t_simhash_sigs" -> ((s, d) => Dedup.simhashSignatures(docs(s, d))),
 
     // exact n-gram Jaccard over a bounded id range — the verification
     // arithmetic of the near-dup path, oracle-checkable end to end
@@ -101,6 +111,16 @@ object TextOpsQueries {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    // raw-emission sidecars: the hyperplane-LSH bucket key per vector at
+    // the two configurations above; multi-probe expansion, cap, bucket
+    // join, cosine re-rank and threshold are re-derived in the oracles
+    "t_ann_buckets" -> ((s, d) =>
+      vecsD(s, d).select(col("id"),
+        Similarity.lshKey(col("vec"), nBits = 10, dims = 64).as("bucket"))),
+    "t_emb_buckets" -> ((s, d) =>
+      vecsD(s, d).select(col("id"),
+        Similarity.lshKey(col("vec"), nBits = 4, dims = 64).as("bucket"))),
+
     "t_embedding_norms" -> ((s, d) =>
       vecsD(s, d).select(col("id").as("vec_id"),
         round(Similarity.l2norm(col("vec")), 6).as("l2"))),
@@ -134,7 +154,113 @@ object TextOpsQueries {
   private val stopListSql: String = graft.util.TextUtil.StopWords.toSeq.sorted
     .map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Parquet-dir reference inside oracle SQL (see PipelineQueries.p). */
+  private def p(name: String) =
+    s"'${PipelineQueries.OutPlaceholder}/$name.parquet/*.parquet'"
+
+  /** Exact double cosine between vec lists aliased `a` and `b` —
+    * identical fold to Similarity.cosine after the float→double cast
+    * (proved bit-identical by t_cosine_pairs/t_ann_bruteforce). */
+  private val cosSql: String =
+    """list_sum(list_transform(list_zip(a.vec, b.vec), pr -> pr[1]*pr[2])) /
+       (sqrt(list_sum(list_transform(a.vec, x -> x*x))) *
+        sqrt(list_sum(list_transform(b.vec, x -> x*x))))"""
+
   def oracleSql: Map[String, String] = Map(
+    // ---- LSH families (VERDICT r3 "oracle depth"): the xxhash64 /
+    // hyperplane keys pass through via the raw-emitted sidecar tables
+    // (t_minhash_bands / t_simhash_sigs / t_ann_buckets / t_emb_buckets);
+    // the cap, pair join, dedup, hamming/cosine re-rank and thresholds —
+    // the parts with scale-sensitive join logic — are re-derived in SQL.
+    "t_minhash_pairs" -> s"""
+      WITH sz AS (SELECT band, bucket, count(*) AS n
+                  FROM ${p("t_minhash_bands")} GROUP BY 1, 2),
+      ok AS (SELECT b.* FROM ${p("t_minhash_bands")} b
+             JOIN sz USING (band, bucket) WHERE sz.n <= 500)
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM ok a JOIN ok b USING (band, bucket)
+      WHERE a.doc < b.doc""",
+    "t_near_dups" -> s"""
+      WITH sz AS (SELECT band, bucket, count(*) AS n
+                  FROM ${p("t_minhash_bands")} GROUP BY 1, 2),
+      ok AS (SELECT b.* FROM ${p("t_minhash_bands")} b
+             JOIN sz USING (band, bucket) WHERE sz.n <= 500),
+      pairs AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM ok a JOIN ok b USING (band, bucket) WHERE a.doc < b.doc),
+      sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                              FOR i IN range(0, greatest(len(toks)-3, 0)+1)]) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents))
+      SELECT pr.doc_a, pr.doc_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+               / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+      FROM pairs pr JOIN sh a ON pr.doc_a = a.doc_id JOIN sh b ON pr.doc_b = b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5""",
+    "t_simhash_pairs" -> s"""
+      WITH ch AS (
+        SELECT doc, sig, i.i AS chunk, (sig >> (i.i * 16)) & 65535 AS bucket
+        FROM ${p("t_simhash_sigs")}, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) i),
+      sz AS (SELECT chunk, bucket, count(*) AS n FROM ch GROUP BY 1, 2),
+      ok AS (SELECT c.* FROM ch c JOIN sz USING (chunk, bucket) WHERE sz.n <= 500)
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      FROM ok a JOIN ok b USING (chunk, bucket)
+      WHERE a.doc < b.doc AND bit_count(xor(a.sig, b.sig)) <= 16""",
+    "t_ann_lsh" -> s"""
+      WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                 FROM embeddings),
+      csz AS (SELECT bucket, count(*) AS n FROM ${p("t_ann_buckets")} GROUP BY 1),
+      corp AS (SELECT b.id AS neighbor_id, b.bucket
+               FROM ${p("t_ann_buckets")} b JOIN csz USING (bucket) WHERE csz.n <= 10000),
+      qprobe AS (
+        SELECT id AS query_id,
+               unnest(list_prepend(bucket,
+                 [xor(bucket, CAST(1 AS BIGINT) << bb) FOR bb IN range(0, 10)])) AS bucket
+        FROM ${p("t_ann_buckets")} WHERE id < 16),
+      cand AS (
+        SELECT DISTINCT q.query_id, c.neighbor_id
+        FROM qprobe q JOIN corp c USING (bucket)
+        WHERE q.query_id <> c.neighbor_id),
+      scored AS (
+        SELECT cd.query_id, cd.neighbor_id, $cosSql AS cosine
+        FROM cand cd JOIN v a ON cd.query_id = a.vec_id JOIN v b ON cd.neighbor_id = b.vec_id)
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5""",
+    "t_embedding_near_dups" -> s"""
+      WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                 FROM embeddings),
+      sz AS (SELECT bucket, count(*) AS n FROM ${p("t_emb_buckets")} GROUP BY 1),
+      ok AS (SELECT b.* FROM ${p("t_emb_buckets")} b JOIN sz USING (bucket) WHERE sz.n <= 2000),
+      pairs AS (
+        SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
+        FROM ok l JOIN ok r USING (bucket) WHERE l.id < r.id)
+      SELECT pr.doc_a, pr.doc_b, $cosSql AS cosine
+      FROM pairs pr JOIN v a ON pr.doc_a = a.vec_id JOIN v b ON pr.doc_b = b.vec_id
+      WHERE $cosSql >= 0.25""",
+    // Sidecar key coverage: every (doc × band) / doc / vec id must appear
+    // (LEFT JOIN from the source table — a missing sidecar row shows up
+    // as an extra oracle row and fails the count); the hash value itself
+    // passes through, being the one non-ANSI step.
+    "t_minhash_bands" -> s"""
+      SELECT d.doc_id AS doc, g.band, b.bucket
+      FROM documents d
+      CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS band) g
+      LEFT JOIN ${p("t_minhash_bands")} b ON b.doc = d.doc_id AND b.band = g.band""",
+    "t_simhash_sigs" -> s"""
+      SELECT d.doc_id AS doc, s.sig
+      FROM documents d LEFT JOIN ${p("t_simhash_sigs")} s ON s.doc = d.doc_id""",
+    "t_ann_buckets" -> s"""
+      SELECT e.vec_id AS id, b.bucket
+      FROM embeddings e LEFT JOIN ${p("t_ann_buckets")} b ON b.id = e.vec_id""",
+    "t_emb_buckets" -> s"""
+      SELECT e.vec_id AS id, b.bucket
+      FROM embeddings e LEFT JOIN ${p("t_emb_buckets")} b ON b.id = e.vec_id""",
     // FNV-1a 64-bit re-run char-by-char in DuckDB: wraparound multiply
     // emulated in HUGEINT mod 2^64, two's-complement fold back to BIGINT.
     // Valid while `documents.text` is BMP-only (unicode(c) == the UTF-16

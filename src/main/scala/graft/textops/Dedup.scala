@@ -143,6 +143,23 @@ object Dedup {
   def minhashSignature(text: Column, k: Int = 32, shingleSize: Int = 3): Column =
     minhashUdf(k, shingleSize)(text)
 
+  /** Banded minhash LSH keys, pre-cap: one (doc, band, bucket) row per
+   *  band, bucket = xxhash64 of the band's signature slice. Exposed so
+   *  the band table can be emitted raw and the downstream cap/join/
+   *  distinct logic re-derived by the DuckDB oracle. */
+  def minhashBands(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   bands: Int = 8, rows: Int = 4,
+                   shingleSize: Int = 3): DataFrame = {
+    val k = bands * rows
+    val sig = docs.select(col(idCol).as("doc"),
+      minhashSignature(col(textCol), k, shingleSize).as("sig"))
+    sig.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** LSH candidate pairs from banded minhash signatures:
    *  b bands × r rows (k = b·r); docs sharing any band bucket pair up.
    *  Returns distinct (doc_a, doc_b) with doc_a < doc_b. */
@@ -151,13 +168,7 @@ object Dedup {
                             bands: Int = 8, rows: Int = 4,
                             shingleSize: Int = 3,
                             maxBucketSize: Int = 500): DataFrame = {
-    val k = bands * rows
-    val sig = docs.select(col(idCol).as("doc"),
-      minhashSignature(col(textCol), k, shingleSize).as("sig"))
-    val banded0 = sig.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded0 = minhashBands(docs, idCol, textCol, bands, rows, shingleSize)
     val banded = boundBuckets(banded0, Seq("band", "bucket"), maxBucketSize, "minhash")
     val l = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
@@ -218,12 +229,19 @@ object Dedup {
 
   def simhash64(text: Column): Column = simhash64Udf(text)
 
+  /** Per-document 64-bit simhash signatures (doc, sig) — exposed so the
+   *  signature table can be emitted raw and the chunk/cap/join/hamming
+   *  logic re-derived by the DuckDB oracle. */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
+
   /** SimHash near-dup candidates: bucket by each of four 16-bit chunks —
    *  any pair within hamming distance 3 shares at least one chunk. */
   def simhashCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text",
                             maxBucketSize: Int = 500): DataFrame = {
-    val sig = docs.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
+    val sig = simhashSignatures(docs, idCol, textCol)
     val chunked0 = sig.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
