@@ -50,13 +50,21 @@ object ModelBuild {
         sum("_cnt").over(Window.orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_pid", "_off")
-    val out = withRn.join(broadcast(offsets), Seq("_pid"))
+    val cut = withRn.join(broadcast(offsets), Seq("_pid"))
       .withColumn(idName, (col("_off") + col("_rn")).cast("int"))
       .drop("_pid", "_rn", "_off")
-      // materialize + truncate lineage so the pinned intermediate can be
-      // freed immediately (otherwise each denseIds call leaks one cached
-      // copy of the dimension table for the session's lifetime)
-      .localCheckpoint(true)
+    // Materialize + truncate lineage so the pinned intermediate can be
+    // freed immediately (otherwise each denseIds call leaks one cached
+    // copy of the dimension table for the session's lifetime). When the
+    // caller configured a reliable checkpoint dir (Runner points it at
+    // the stage root it owns), cut there — executor-local blocks
+    // (localCheckpoint) disappear with a lost executor, which at
+    // 100×-dictionary deployment scale means recomputing the dimension
+    // mid-job; the local variant remains the single-JVM fallback
+    // (VERDICT r3 item 8).
+    val out =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) cut.checkpoint(true)
+      else cut.localCheckpoint(true)
     withRn.unpersist()
     out
   }

@@ -53,6 +53,13 @@ object Runner {
       spark.table(table)
     }
 
+    // Reliable checkpoints live under the stage root this run owns:
+    // denseIds (and anything else that cuts lineage) then survives
+    // executor loss instead of depending on executor-local blocks.
+    // Don't clobber a dir the caller already configured.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(s"$root/_checkpoints")
+
     // pages feeds both the extraction and occurrence stages on a cold
     // run; cache so the markup parse doesn't execute twice
     pages.cache()
