@@ -26,6 +26,16 @@ object TextOpsQueries {
     embs(s, d).select(col("vec_id").as("id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
 
+  /** One IVF codebook per sf dir, shared by t_ann_ivf and its sidecars
+    * so all three emit against identical centroid bits (training is
+    * deterministic, but sharing also saves two redundant Lloyd runs).
+    * Plain double arrays — safe to reuse across sessions. */
+  private val ivfCodebooks =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double])]]
+  private def ivfCodebook(s: SparkSession, d: String): Array[(Int, Array[Double])] =
+    ivfCodebooks.getOrElseUpdate(d,
+      Similarity.ivfCentroids(vecsD(s, d), nCells = 16, dims = 64))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- text analysis ----------------------------------------------------
@@ -120,6 +130,24 @@ object TextOpsQueries {
     "t_emb_buckets" -> ((s, d) =>
       vecsD(s, d).select(col("id"),
         Similarity.lshKey(col("vec"), nBits = 4, dims = 64).as("bucket"))),
+
+    // IVF ANN: the centroid-partitioned scale path (k-means codebook,
+    // queries probe nProbe nearest cells, exact re-rank within)
+    "t_ann_ivf" -> ((s, d) => {
+      val v = vecsD(s, d)
+      Similarity.ivfTopK(v.filter(col("id") < 16), v, k = 5,
+          nCells = 16, nProbe = 4, codebook = Some(ivfCodebook(s, d)))
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+    // raw-emission sidecars: nearest-cell assignment per corpus vector
+    // and the nProbe probe list per query vector (float-iterative k-means
+    // passes through); the cell join, dedup, cosine re-rank and top-k of
+    // t_ann_ivf are re-derived in SQL
+    "t_ivf_cells" -> ((s, d) =>
+      Similarity.assignCells(vecsD(s, d), ivfCodebook(s, d)).select("id", "cell")),
+    "t_ivf_probes" -> ((s, d) =>
+      Similarity.assignCells(vecsD(s, d).filter(col("id") < 16), ivfCodebook(s, d),
+        rankTo = 4).select("id", "probe_rank", "cell")),
 
     "t_embedding_norms" -> ((s, d) =>
       vecsD(s, d).select(col("id").as("vec_id"),
@@ -243,6 +271,23 @@ object TextOpsQueries {
       SELECT pr.doc_a, pr.doc_b, $cosSql AS cosine
       FROM pairs pr JOIN v a ON pr.doc_a = a.vec_id JOIN v b ON pr.doc_b = b.vec_id
       WHERE $cosSql >= 0.25""",
+    // IVF ANN: probes→cells join, dedup, exact cosine re-rank and top-k
+    // re-derived in SQL; the k-means cell assignment passes through via
+    // the sidecars.
+    "t_ann_ivf" -> s"""
+      WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                 FROM embeddings),
+      cand AS (
+        SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+        FROM ${p("t_ivf_probes")} q JOIN ${p("t_ivf_cells")} c USING (cell)
+        WHERE q.id <> c.id),
+      scored AS (
+        SELECT cd.query_id, cd.neighbor_id, $cosSql AS cosine
+        FROM cand cd JOIN v a ON cd.query_id = a.vec_id JOIN v b ON cd.neighbor_id = b.vec_id)
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5""",
     // Sidecar key coverage: every (doc × band) / doc / vec id must appear
     // (LEFT JOIN from the source table — a missing sidecar row shows up
     // as an extra oracle row and fails the count); the hash value itself
@@ -261,6 +306,16 @@ object TextOpsQueries {
     "t_emb_buckets" -> s"""
       SELECT e.vec_id AS id, b.bucket
       FROM embeddings e LEFT JOIN ${p("t_emb_buckets")} b ON b.id = e.vec_id""",
+    "t_ivf_cells" -> s"""
+      SELECT e.vec_id AS id, c.cell
+      FROM embeddings e LEFT JOIN ${p("t_ivf_cells")} c ON c.id = e.vec_id""",
+    "t_ivf_probes" -> s"""
+      SELECT e.vec_id AS id, g.probe_rank, pr.cell
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS probe_rank) g
+      LEFT JOIN ${p("t_ivf_probes")} pr
+        ON pr.id = e.vec_id AND pr.probe_rank = g.probe_rank
+      WHERE e.vec_id < 16""",
     // FNV-1a 64-bit re-run char-by-char in DuckDB: wraparound multiply
     // emulated in HUGEINT mod 2^64, two's-complement fold back to BIGINT.
     // Valid while `documents.text` is BMP-only (unicode(c) == the UTF-16

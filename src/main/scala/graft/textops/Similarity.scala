@@ -95,6 +95,103 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /**
+   * IVF (inverted-file) ANN — the centroid-partitioned alternative to
+   * [[lshTopK]]: a small deterministic k-means codebook partitions the
+   * corpus into `nCells` cells; queries probe their `nProbe` nearest
+   * cells and re-rank exactly within them. Shuffle volume is
+   * Σ(query-probes × cell size) instead of |Q|·|C|; the codebook is a
+   * driver-side bounded dim (nCells × dims doubles, a few KB) exactly
+   * like the spotter automaton, broadcast into the assignment join.
+   *
+   * Training is Lloyd's algorithm with a deterministic seed (the
+   * `nCells` corpus vectors with the smallest xxhash64(id)) and a fixed
+   * iteration count, ties broken by id — identical codebooks on every
+   * run/executor layout, no model state. Per-iteration work is one
+   * broadcast-join + groupBy over the corpus (the inherent IVF
+   * assignment cost).
+   */
+  def ivfCentroids(corpus: DataFrame, nCells: Int, dims: Int,
+                   iters: Int = 3): Array[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids: Array[(Int, Array[Double])] = corpus
+      .select(col("id"), col("vec"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nCells)
+      .as[(Long, Array[Double])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    var it = 0
+    while (it < iters) {
+      val assigned = assignCells(corpus, centroids)
+      // new centroid = mean of members; empty cells keep their vector
+      val means = assigned
+        .select(col("cell"), col("id"), col("vec"))
+        .as[(Int, Long, Array[Double])]
+        .groupByKey(_._1)
+        .mapGroups { (cell, rows) =>
+          // double addition is order-sensitive; sum in id order so the
+          // codebook is bit-identical on every run/partitioning. Buffers
+          // one cell (≈ |corpus|/nCells rows) — fine for codebook-sized
+          // training samples; a 100 TB deployment trains the codebook on
+          // a bounded sample anyway (standard IVF practice).
+          val members = rows.toArray.sortBy(_._2)
+          val sum = new Array[Double](dims)
+          members.foreach { case (_, _, v) =>
+            var i = 0; while (i < dims) { sum(i) += v(i); i += 1 }
+          }
+          var i = 0; while (i < dims) { sum(i) /= members.length; i += 1 }
+          (cell, sum)
+        }.collect().toMap
+      centroids = centroids.map { case (c, v) => (c, means.getOrElse(c, v)) }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (cosine, ties by cell id): one row per
+    * (input row, probe) with its `cell` and 1-based `probe_rank`.
+    * `rankTo` > 1 keeps the nProbe nearest cells (query-side
+    * multi-probe). */
+  def assignCells(vecs: DataFrame,
+                  centroids: Array[(Int, Array[Double])],
+                  rankTo: Int = 1): DataFrame = {
+    val spark = vecs.sparkSession
+    val cents = spark.createDataFrame(
+      centroids.toSeq.map { case (c, v) => (c, v.toSeq) })
+      .toDF("cell", "c_vec")
+    // deliberate bounded cross join: |vecs| × nCells rows, the inherent
+    // IVF assignment cost, with the tiny codebook broadcast
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("_sim", cosine(col("vec"), col("c_vec")))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("_sim").desc, col("cell"))))
+      .filter(col("probe_rank") <= rankTo)
+      .drop("_sim", "c_vec")
+  }
+
+  /** IVF top-k: corpus partitioned by nearest centroid, queries probe
+    * their `nProbe` nearest cells, exact cosine re-rank within. Pass a
+    * pre-trained `codebook` to reuse one training across queries. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, dims: Int = 64,
+              iters: Int = 3,
+              codebook: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
+    val centroids = codebook.getOrElse(ivfCentroids(corpus, nCells, dims, iters))
+    val c = assignCells(corpus, centroids)
+      .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("c_vec"))
+    val q = assignCells(queries, centroids, rankTo = nProbe)
+      .select(col("cell"), col("id").as("query_id"), col("vec").as("q_vec"))
+    c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, using the
    *  LSH buckets to avoid the quadratic join. */
   def cosineNearDuplicates(vecs: DataFrame, threshold: Double = 0.95,

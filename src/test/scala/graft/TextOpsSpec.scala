@@ -114,6 +114,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hits.toDouble / bf.size >= 0.8) // multi-probe recall on clear clusters
   }
 
+  test("IVF ANN recall@1 matches brute force and trains deterministically") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      val base = i % 10
+      val v = (0 until 16).map(d => math.sin(base * 31 + d * 7) +
+        (if (i >= 10) 0.001 * d else 0.0))
+      (i.toLong, v.toArray)
+    }.toDF("id", "vec")
+    val bf = Similarity.bruteForceTopK(vecs, vecs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(vecs, vecs, k = 1, nCells = 4, nProbe = 2, dims = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = bf.keys.count(k => ivf.get(k).contains(bf(k)))
+    // near-identical twins share a cell; probing 2 of 4 cells must find them
+    assert(hits.toDouble / bf.size >= 0.9)
+    // codebook bits are run-invariant (seeded init + id-ordered sums)
+    val c1 = Similarity.ivfCentroids(vecs, nCells = 4, dims = 16)
+    val c2 = Similarity.ivfCentroids(vecs, nCells = 4, dims = 16)
+    assert(c1.map(_._1).sameElements(c2.map(_._1)))
+    c1.zip(c2).foreach { case ((_, v1), (_, v2)) => assert(v1.sameElements(v2)) }
+  }
+
   test("text stats: counts, ratios, quality and lang-id on known strings") {
     import spark.implicits._
     val d = Seq(
