@@ -44,6 +44,23 @@ object PipelineQueries {
       m(s).resources.toDF().withColumn("types", concat_ws(",", col("types")))),
     "p_candidates" -> ((s, _) => m(s).candidates.toDF()),
     "p_token_types" -> ((s, _) => m(s).tokenTypes.toDF()),
+    "p_token_stream" -> ((s, _) => {
+      // the raw content-token stream (UDF-born: BreakIterator tokenizer)
+      // over paragraph text PLUS surface forms — exactly the union
+      // ModelBuild.tokenTypes counts (reference: TokenSource.scala:35-70).
+      // Rows-only itself; emitting it lets the DuckDB oracle re-derive
+      // the S13/A5 dictionary (group-count + dense id) downstream of
+      // the tokenizer UDF, the same pattern as p_doc_tokens/p_raw_spots.
+      import s.implicits._
+      val mm = m(s)
+      val textToks = mm.paragraphs
+        .flatMap(pr => graft.util.TextUtil.contentTokens(pr.para_text, mm.stemmer))
+        .toDF("token")
+      val sfToks = mm.surfaceForms
+        .flatMap(r => graft.util.TextUtil.contentTokens(r.sf, mm.stemmer))
+        .toDF("token")
+      textToks.union(sfToks)
+    }),
     "p_entity_contexts" -> ((s, _) => m(s).entityContexts.toDF()),
     "p_raw_spots" -> ((s, _) =>
       // pre-gate automaton output (rows-only: the automaton itself is
@@ -447,6 +464,14 @@ object PipelineQueries {
       SELECT f AS "from", t AS "to" FROM walk w
       WHERE NOT EXISTS (
         SELECT 1 FROM edges e WHERE e.e_from = w.t AND NOT list_contains(w.path, e.e_to))""",
+    // S13/A5: token dictionary re-derived from the emitted raw token
+    // stream — group-count over the paragraph+sf union, dense id =
+    // row_number by token (the denseIds contract, same as sf_id below).
+    "p_token_types" -> s"""
+      SELECT CAST(row_number() OVER (ORDER BY token) AS INT) AS token_id,
+             token, CAST(cnt AS BIGINT) AS count
+      FROM (SELECT token, COUNT(*) AS cnt
+            FROM ${p("p_token_stream")} GROUP BY token)""",
     // A1: annotated_count = weighted occurrence count per sf; sf_id = dense
     // rank by sf. total_count/sf_normalized are automaton/UDF products
     // (not ANSI-expressible) and pass through from the emitted table.
