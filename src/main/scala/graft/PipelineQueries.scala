@@ -446,6 +446,19 @@ object PipelineQueries {
     * facts — so a wrong join, salt-phase bug, or unstable dense-ID
     * assignment in ModelBuild fails the driver compare. */
   def oracleSql: Map[String, String] = Map(
+    // S3: paragraph split re-run from the emitted extracted text —
+    // literal "\n\n" split, 1-based index over the ORIGINAL segment
+    // positions (empty segments consume an index, Extractor.paragraphs),
+    // Java-trim emptiness check approximated by the 4-char trim set
+    // (space/tab/LF/CR — the only <=0x20 chars the extractor emits).
+    "p_paragraphs" -> s"""
+      WITH e AS (SELECT url, string_split(text, chr(10)||chr(10)) AS segs
+                 FROM ${p("p_extracted")}),
+      u AS (SELECT url, unnest(segs) AS para_text,
+                   unnest([CAST(i AS INT) FOR i IN range(1, len(segs)+1)]) AS para_idx
+            FROM e)
+      SELECT url, para_idx, para_text FROM u
+      WHERE trim(para_text, ' ' || chr(9) || chr(10) || chr(13)) <> ''""",
     // A8: reference getEndOfChainURI semantics — follow until no next hop
     // or the next hop was already visited (cycles stop at last new node).
     "p_redirect_closure" -> s"""
