@@ -34,6 +34,8 @@ object StreamingDedup {
   final case class Doc(doc_id: Long, warc_ts: java.sql.Timestamp, text: String)
   final case class DedupedDoc(doc_id: Long, content_hash: String,
                               canonical_id: Long, is_duplicate: Boolean)
+  final case class NearDupHit(doc_id: Long, canonical_id: Long,
+                              band: Int, bucket: Long)
 
   /** First-seen texts only. `watermark = Some((eventTimeCol, bound))`
     * switches to watermark-evicted state (unbounded feeds); `None`
@@ -73,6 +75,64 @@ object StreamingDedup {
             c
           }
           ids.iterator.map(id => DedupedDoc(id, hash, canonical, id != canonical))
+      }
+  }
+
+  /**
+   * Streaming NEAR-dup candidates — the continuous-ingest counterpart of
+   * [[graft.textops.Dedup.minhashCandidatePairs]]. Uses the SAME banded
+   * minhash computation as the batch operator ([[graft.textops.Dedup
+   * .minhashBands]]: FNV-1a shingles → k splitmix64 permutations →
+   * xxhash64 band buckets — map-only, streaming-safe), then keys the
+   * band stream by (band, bucket) and keeps ONE long of state per
+   * bucket: the first-seen (canonical) doc id. Each later doc hitting
+   * the bucket emits a (doc_id, canonical_id, band, bucket) hit.
+   *
+   * Scale shape vs batch: the batch operator pairs ALL docs within a
+   * bucket (quadratic per bucket — hence its maxBucketSize cap +
+   * observed drop metric); the stream pairs each arrival with the
+   * canonical only, so emission is LINEAR in arrivals and needs no cap.
+   * The trade-off is pair coverage: batch emits the full clique, the
+   * stream emits the star centered on the first-seen doc — exactly the
+   * edges a first-seen-wins dedup policy consumes. Within one
+   * micro-batch the smallest doc_id is canonical, so a single-batch
+   * replay makes {doc | hit} equal the batch decision set
+   * {doc | doc shares a bucket with a smaller doc} band-for-band
+   * (asserted by StreamingDedupSpec).
+   *
+   * A doc matching in m bands emits m hits; per-doc reduction (distinct
+   * doc_id, or groupBy doc_id for the strongest canonical) is the
+   * consumer's choice — a second stateful distinct here would double
+   * state for a policy decision the sink owns. State is one long per
+   * distinct (band, bucket) ≈ bands × distinct-docs: on an unbounded
+   * feed, shard by bucket range or re-key epoch-by-epoch, same as the
+   * exact-dedup lineage note above.
+   */
+  def nearDupCandidateStream(docs: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             bands: Int = 8, rows: Int = 4,
+                             shingleSize: Int = 3): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.textops.Dedup
+      .minhashBands(docs, idCol, textCol, bands, rows, shingleSize)
+      .select(col("doc").cast("long"), col("band").cast("int"),
+        col("bucket").cast("long"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Long, NearDupHit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case ((band, bucket), it, state) =>
+          val ids = it.map(_._1).toArray.sorted
+          val canonical = state.getOption.getOrElse {
+            val c = ids.head
+            state.update(c)
+            c
+          }
+          ids.iterator.filter(_ != canonical)
+            .map(id => NearDupHit(id, canonical, band, bucket))
       }
   }
 }

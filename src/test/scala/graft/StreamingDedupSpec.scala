@@ -61,6 +61,66 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(rows.size === 5)
   }
 
+  // Near-dup corpus: two exact-dup families (all 8 bands collide), two
+  // high-overlap variants (some bands collide), and unrelated texts.
+  private def ndDoc(id: Long, text: String) = Doc(id, ts(id.toInt), text)
+  private val ndBatch1 = Seq(
+    ndDoc(1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    ndDoc(2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    ndDoc(3L, "the quick brown fox jumps over the lazy dog near the river shore"),
+    ndDoc(4L, "completely unrelated text about spark structured streaming state"),
+    ndDoc(5L, "another disjoint document mentioning knowledge graph construction"))
+  private val ndBatch2 = Seq(
+    ndDoc(6L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    ndDoc(7L, "fresh content that matches nothing that was streamed before now"))
+
+  test("nearDupCandidateStream: single-batch replay matches the batch band decision") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    stream.addData(ndBatch1)
+    val q = graft.streaming.StreamingAnnotate.startMemorySink(
+      StreamingDedup.nearDupCandidateStream(stream.toDF()).toDF(),
+      "neardup_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup_sink")
+      .select("doc_id", "canonical_id", "band", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // expected: same banding, star on min(doc) per (band, bucket)
+    val banded = graft.textops.Dedup.minhashBands(ndBatch1.toDF())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = banded.groupBy { case (_, b, k) => (b, k) }.values
+      .filter(_.length >= 2)
+      .flatMap { grp =>
+        val min = grp.map(_._1).min
+        grp.collect { case (d, b, k) if d != min => (d, min, b, k) }
+      }.toSet
+    assert(expected.nonEmpty) // exact dups guarantee collisions
+    assert(got === expected)
+    // the exact-dup pair must collide in EVERY band
+    assert(got.count { case (d, c, _, _) => d == 2L && c == 1L } === 8)
+  }
+
+  test("nearDupCandidateStream: cross-batch hits use the first-seen canonical") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    stream.addData(ndBatch1)
+    val q = graft.streaming.StreamingAnnotate.startMemorySink(
+      StreamingDedup.nearDupCandidateStream(stream.toDF()).toDF(),
+      "neardup_sink2", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable()
+    stream.addData(ndBatch2)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup_sink2")
+      .select("doc_id", "canonical_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 6 re-crawls text first seen as doc 1 (all bands → canonical 1 only)
+    assert(got.filter(_._1 == 6L) === Set((6L, 1L)))
+    // 7 matches nothing
+    assert(!got.exists(_._1 == 7L))
+  }
+
   test("canonicalStream hash matches the batch operator's md5 keying") {
     import spark.implicits._
     val txt = "alpha beta gamma"
