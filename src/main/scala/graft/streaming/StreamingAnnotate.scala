@@ -128,6 +128,38 @@ object StreamingAnnotate {
       .start()
   }
 
+  /**
+   * Streaming KG construction end to end: crawl feed → extract → spot →
+   * score → filter chain (confidence/support/coref, the batch server
+   * defaults) → page-mentions-entity TRIPLES per micro-batch — the
+   * north-star output emitted continuously. Only the mention edges are
+   * per-batch: the model-derived edges (entity types, redirects/sameAs)
+   * are STATIC dimensions of the model the stream annotates against —
+   * re-emitting them every micro-batch would duplicate rows; the batch
+   * pipeline writes them once ([[graft.triples.Triples.all]]). Because
+   * every page row carries its whole text, the filter chain (incl. F6
+   * coreference, which is url-local) sees complete documents per batch
+   * and the emitted triples equal the batch path on the same pages
+   * (asserted in StreamingSpec).
+   */
+  def tripleStream(pages: Dataset[WebPage], m: graft.pipeline.Model,
+                   conf: Double = 0.1, minSupport: Long = 10)
+                  (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = pages.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      graft.spot.Spotter.buildAutomaton(m.surfaceForms))
+    pages.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[WebPage], batchId: Long) =>
+        val paras = graft.extract.Extractor.paragraphs(
+          graft.extract.Extractor.extracted(batch))
+        val scored = graft.pipeline.Annotate.scoredOn(spark, m, paras, automaton = Some(bc))
+        val anns = graft.pipeline.Annotate.annotationsFrom(spark, scored, conf, minSupport)
+        sink(graft.triples.Triples.mentions(anns).toDF(), batchId)
+      }
+      .start()
+  }
+
   /** Wire a spot stream to an in-memory sink (tests / smoke checks). */
   def startMemorySink(df: DataFrame, queryName: String,
                       outputMode: OutputMode = OutputMode.Update()) =

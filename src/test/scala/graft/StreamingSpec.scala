@@ -72,6 +72,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.size === sink.toSet.size) // micro-batches don't overlap
   }
 
+  test("streaming triples equal batch mention triples on the same pages") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val m = model
+    val pages = SyntheticCorpus.webPages(spark, 12).collect()
+    val sink = scala.collection.mutable.ArrayBuffer[(String, String, String, Double)]()
+    val stream = MemoryStream[graft.model.WebPage]
+    stream.addData(pages.take(6).toSeq)
+    val q = StreamingAnnotate.tripleStream(stream.toDS(), m) { (t, _) =>
+      sink ++= t.select("subj", "pred", "obj", "score").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      ()
+    }
+    q.processAllAvailable()
+    stream.addData(pages.drop(6).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = graft.triples.Triples.mentions(
+      graft.pipeline.Annotate.annotationsFrom(spark,
+        graft.pipeline.Annotate.scoredOn(spark, m,
+          graft.extract.Extractor.paragraphs(
+            graft.extract.Extractor.extracted(SyntheticCorpus.webPages(spark, 12))))))
+      .toDF().select("subj", "pred", "obj", "score").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    assert(sink.toSet === batch)
+    assert(sink.nonEmpty)
+    assert(sink.forall(_._2 == graft.triples.Triples.MentionsPred))
+  }
+
   test("windowed counts with watermark and running url state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
