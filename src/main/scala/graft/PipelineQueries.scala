@@ -46,20 +46,15 @@ object PipelineQueries {
     "p_token_types" -> ((s, _) => m(s).tokenTypes.toDF()),
     "p_token_stream" -> ((s, _) => {
       // the raw content-token stream (UDF-born: BreakIterator tokenizer)
-      // over paragraph text PLUS surface forms — exactly the union
-      // ModelBuild.tokenTypes counts (reference: TokenSource.scala:35-70).
-      // Rows-only itself; emitting it lets the DuckDB oracle re-derive
-      // the S13/A5 dictionary (group-count + dense id) downstream of
-      // the tokenizer UDF, the same pattern as p_doc_tokens/p_raw_spots.
-      import s.implicits._
+      // over paragraph text PLUS surface forms — the SAME derivation
+      // tokenTypes counts (shared ModelBuild.tokenStream, so the two
+      // cannot drift). Rows-only itself; emitting it lets the DuckDB
+      // oracle re-derive the S13/A5 dictionary (group-count + dense id)
+      // downstream of the tokenizer UDF, the same pattern as
+      // p_doc_tokens/p_raw_spots.
       val mm = m(s)
-      val textToks = mm.paragraphs
-        .flatMap(pr => graft.util.TextUtil.contentTokens(pr.para_text, mm.stemmer))
-        .toDF("token")
-      val sfToks = mm.surfaceForms
-        .flatMap(r => graft.util.TextUtil.contentTokens(r.sf, mm.stemmer))
-        .toDF("token")
-      textToks.union(sfToks)
+      graft.modelbuild.ModelBuild.tokenStream(
+        mm.paragraphs, mm.surfaceForms, mm.stemmer)
     }),
     "p_entity_contexts" -> ((s, _) => m(s).entityContexts.toDF()),
     "p_raw_spots" -> ((s, _) =>

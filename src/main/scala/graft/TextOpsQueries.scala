@@ -26,15 +26,28 @@ object TextOpsQueries {
     embs(s, d).select(col("vec_id").as("id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
 
-  /** One IVF codebook per sf dir, shared by t_ann_ivf and its sidecars
-    * so all three emit against identical centroid bits (training is
-    * deterministic, but sharing also saves two redundant Lloyd runs).
-    * Plain double arrays — safe to reuse across sessions. */
+  /** One IVF codebook per (session, sf dir), shared by t_ann_ivf and its
+    * sidecars so all three emit against identical centroid bits
+    * (training is deterministic, but sharing also saves two redundant
+    * Lloyd runs). Keyed by session like SparkEntry.cachedModel: a
+    * dir-only key would serve a codebook trained on STALE vectors if
+    * the parquet under the path is regenerated between sessions, and
+    * the IVF oracles would then fail against the current embeddings.
+    * Entries are dropped when a different session shows up (one live
+    * session at a time in Verify/Bench), so stopped sessions are not
+    * retained. */
   private val ivfCodebooks =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double])]]
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Array[(Int, Array[Double])])]
   private def ivfCodebook(s: SparkSession, d: String): Array[(Int, Array[Double])] =
-    ivfCodebooks.getOrElseUpdate(d,
-      Similarity.ivfCentroids(vecsD(s, d), nCells = 16, dims = 64))
+    synchronized {
+      ivfCodebooks.get(d) match {
+        case Some((sess, cb)) if sess eq s => cb
+        case _ =>
+          val cb = Similarity.ivfCentroids(vecsD(s, d), nCells = 16, dims = 64)
+          ivfCodebooks.put(d, (s, cb))
+          cb
+      }
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -103,9 +116,12 @@ object TextOpsQueries {
 
     "t_embedding_near_dups" -> ((s, d) =>
       // synthetic embeddings are near-orthogonal; 0.25 exercises the
-      // LSH-bucketed pair path with a non-empty result at small SF
+      // LSH-bucketed pair path with a non-empty result at small SF.
+      // Emitted cosine rounded to 6dp like the t_ann_* siblings (the
+      // driver hash is exact-float64; the gate itself stays raw).
       Similarity.cosineNearDuplicates(
-        vecsD(s, d), threshold = 0.25, nBits = 4, dims = 64)),
+          vecsD(s, d), threshold = 0.25, nBits = 4, dims = 64)
+        .withColumn("cosine", round(col("cosine"), 6))),
 
     // -- similarity search ---------------------------------------------------
     "t_ann_bruteforce" -> ((s, d) => {
@@ -268,7 +284,7 @@ object TextOpsQueries {
       pairs AS (
         SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
         FROM ok l JOIN ok r USING (bucket) WHERE l.id < r.id)
-      SELECT pr.doc_a, pr.doc_b, $cosSql AS cosine
+      SELECT pr.doc_a, pr.doc_b, round($cosSql, 6) AS cosine
       FROM pairs pr JOIN v a ON pr.doc_a = a.vec_id JOIN v b ON pr.doc_b = b.vec_id
       WHERE $cosSql >= 0.25""",
     // IVF ANN: probes→cells join, dedup, exact cosine re-rank and top-k

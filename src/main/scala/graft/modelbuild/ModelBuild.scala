@@ -210,6 +210,20 @@ object ModelBuild {
 
   // ---- A5 (+S13): token dictionary --------------------------------------
 
+  /** The raw content-token stream the dictionary counts: paragraph text
+   *  tokens plus one token stream per surface form (reference:
+   *  TokenSource.scala:35-70). Shared by [[tokenTypes]] and the
+   *  `p_token_stream` sidecar emission so the DuckDB oracle re-derives
+   *  the dictionary from EXACTLY the stream it was built on. */
+  def tokenStream(paragraphs: Dataset[ParagraphRow],
+                  sfs: Dataset[SurfaceFormRow],
+                  stem: TextUtil.Stemmer = TextUtil.IdentityStemmer): DataFrame = {
+    val spark = paragraphs.sparkSession
+    import spark.implicits._
+    paragraphs.flatMap(p => TextUtil.contentTokens(p.para_text, stem)).toDF("token")
+      .union(sfs.flatMap(r => TextUtil.contentTokens(r.sf, stem)).toDF("token"))
+  }
+
   /** Global token counts over all paragraph text, plus +1 per token of
    *  each surface form (reference: TokenSource.scala:35-70). */
   def tokenTypes(paragraphs: Dataset[ParagraphRow],
@@ -217,14 +231,8 @@ object ModelBuild {
                  stem: TextUtil.Stemmer = TextUtil.IdentityStemmer): Dataset[TokenTypeRow] = {
     val spark = paragraphs.sparkSession
     import spark.implicits._
-    val textTokens = paragraphs
-      .flatMap(p => TextUtil.contentTokens(p.para_text, stem))
-      .toDF("token")
-    val sfTokens = sfs
-      .flatMap(r => TextUtil.contentTokens(r.sf, stem))
-      .toDF("token")
     denseIds(
-      textTokens.union(sfTokens)
+      tokenStream(paragraphs, sfs, stem)
         .groupBy("token").agg(count(lit(1)).as("count")),
       "token", "token_id")
       .select("token_id", "token", "count")

@@ -53,12 +53,21 @@ object Runner {
       spark.table(table)
     }
 
-    // Reliable checkpoints live under the stage root this run owns:
+    // Reliable checkpoints live under the stage root THIS run owns:
     // denseIds (and anything else that cuts lineage) then survives
-    // executor loss instead of depending on executor-local blocks.
-    // Don't clobber a dir the caller already configured.
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(s"$root/_checkpoints")
+    // executor loss instead of depending on executor-local blocks. Set
+    // per run — a dir pinned to an earlier run's root (the previous
+    // first-run-wins guard) would write this run's recovery data under
+    // a root with a different lifetime. The checkpoints are scoped to
+    // the run: every stage re-reads its own parquet (Pipeline.stage),
+    // so once the last stage commits nothing references them and the
+    // dir is deleted below — Spark never cleans reliable-checkpoint
+    // files unless the GC-driven cleanCheckpoints flag is on, and
+    // leaking a dictionary-sized copy per run is exactly the disk
+    // shape a resumable pipeline must not have. The caller's own dir
+    // (if any) is restored at the end.
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(s"$root/_checkpoints")
 
     // pages feeds both the extraction and occurrence stages on a cold
     // run; cache so the markup parse doesn't execute twice
@@ -141,7 +150,25 @@ object Runner {
       Triples.all(annotations, resources, closure).toDF()
     }
 
+    // Every stage is committed and parquet-backed: the run's reliable
+    // checkpoints are now unreferenced. Best-effort delete (a failed
+    // cleanup must not fail a successful run); debris from a previous
+    // interrupted run under the same root goes with it.
+    try deleteLocalDir(s"$root/_checkpoints")
+    catch { case _: Throwable => () }
+    prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
     Result(model, triples, root)
+  }
+
+  /** Recursive local-fs delete for run-scoped checkpoint dirs. */
+  private def deleteLocalDir(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path.stripPrefix("file:"))
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    }
   }
 
   /** Final graph sink: triples partitioned by predicate (Iceberg-style

@@ -112,7 +112,18 @@ object StreamingAnnotate {
    * and reused across micro-batches.
    */
   def annotateStream(pages: Dataset[WebPage], m: graft.pipeline.Model)
-                    (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+                    (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    scoredBatches(pages, m) { (spark, scored, batchId) =>
+      sink(graft.disambig.Disambiguator.best(scored), batchId)
+    }
+
+  /** The shared micro-batch scoring loop behind [[annotateStream]] and
+    * [[tripleStream]]: one driver-built broadcast automaton reused
+    * across batches, each batch running extract → spot → the full batch
+    * scoring dataflow; `emit` decides what leaves the batch. */
+  private def scoredBatches(pages: Dataset[WebPage], m: graft.pipeline.Model)
+                           (emit: (org.apache.spark.sql.SparkSession, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = pages.sparkSession
     val bc = spark.sparkContext.broadcast(
       graft.spot.Spotter.buildAutomaton(m.surfaceForms))
@@ -121,9 +132,8 @@ object StreamingAnnotate {
       .foreachBatch { (batch: Dataset[WebPage], batchId: Long) =>
         val paras = graft.extract.Extractor.paragraphs(
           graft.extract.Extractor.extracted(batch))
-        val best = graft.disambig.Disambiguator.best(
-          graft.pipeline.Annotate.scoredOn(spark, m, paras, automaton = Some(bc)))
-        sink(best, batchId)
+        val scored = graft.pipeline.Annotate.scoredOn(spark, m, paras, automaton = Some(bc))
+        emit(spark, scored, batchId)
       }
       .start()
   }
@@ -144,21 +154,11 @@ object StreamingAnnotate {
    */
   def tripleStream(pages: Dataset[WebPage], m: graft.pipeline.Model,
                    conf: Double = 0.1, minSupport: Long = 10)
-                  (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = pages.sparkSession
-    val bc = spark.sparkContext.broadcast(
-      graft.spot.Spotter.buildAutomaton(m.surfaceForms))
-    pages.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[WebPage], batchId: Long) =>
-        val paras = graft.extract.Extractor.paragraphs(
-          graft.extract.Extractor.extracted(batch))
-        val scored = graft.pipeline.Annotate.scoredOn(spark, m, paras, automaton = Some(bc))
-        val anns = graft.pipeline.Annotate.annotationsFrom(spark, scored, conf, minSupport)
-        sink(graft.triples.Triples.mentions(anns).toDF(), batchId)
-      }
-      .start()
-  }
+                  (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    scoredBatches(pages, m) { (spark, scored, batchId) =>
+      val anns = graft.pipeline.Annotate.annotationsFrom(spark, scored, conf, minSupport)
+      sink(graft.triples.Triples.mentions(anns).toDF(), batchId)
+    }
 
   /** Wire a spot stream to an in-memory sink (tests / smoke checks). */
   def startMemorySink(df: DataFrame, queryName: String,

@@ -73,8 +73,7 @@ object Multimodal {
       it.map { m =>
         MediaFeatures(
           m.media_id, m.media_type, m.payload.length,
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(m.payload).map("%02x".format(_)).mkString,
+          graft.util.TextUtil.md5Hex(m.payload),
           fakeDecodeFeatures(m.payload))
       }
     }

@@ -118,16 +118,18 @@ object TextUtil {
   def contentTokens(text: String): Array[String] =
     contentTokens(text, IdentityStemmer)
 
-  /** Lowercase MD5 hex of the UTF-8 bytes — the same value Spark's
-   *  `md5()` column function produces, for typed paths that key by
-   *  content hash outside column algebra (streaming dedup state). */
-  def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** Lowercase MD5 hex — the same value Spark's `md5()` column function
+   *  produces, for typed paths that key by content hash outside column
+   *  algebra (streaming dedup state, multimodal payload ids). */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     val sb = new StringBuilder(32)
     d.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString
   }
+
+  def md5Hex(s: String): String =
+    md5Hex(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Shared single-window sentinel for texts that fit one context window. */
   private[graft] val SingleWindow: Array[Int] = Array(0)
