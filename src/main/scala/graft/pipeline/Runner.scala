@@ -64,9 +64,13 @@ object Runner {
     // dir is deleted below — Spark never cleans reliable-checkpoint
     // files unless the GC-driven cleanCheckpoints flag is on, and
     // leaking a dictionary-sized copy per run is exactly the disk
-    // shape a resumable pipeline must not have. The caller's own dir
-    // (if any) is restored at the end.
-    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
+    // shape a resumable pipeline must not have. No restore of a prior
+    // dir afterwards: getCheckpointDir returns the UUID subdir Spark
+    // generated and setCheckpointDir eagerly mkdirs its argument, so
+    // "restoring" would recreate the dir just deleted (and nest a UUID
+    // per run). The session's checkpoint dir therefore stays pointed
+    // under the LAST run's root; Spark lazily recreates the path if a
+    // later lineage cut checkpoints before the next run re-points it.
     spark.sparkContext.setCheckpointDir(s"$root/_checkpoints")
 
     // pages feeds both the extraction and occurrence stages on a cold
@@ -156,7 +160,6 @@ object Runner {
     // interrupted run under the same root goes with it.
     try deleteLocalDir(s"$root/_checkpoints")
     catch { case _: Throwable => () }
-    prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
     Result(model, triples, root)
   }

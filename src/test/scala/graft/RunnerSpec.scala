@@ -56,6 +56,27 @@ class RunnerSpec extends AnyFunSuite {
     val sfMarkerAfter = Files.getLastModifiedTime(
       java.nio.file.Paths.get(s"$root/surface_forms/_graft_commit.json"))
     assert(sfMarkerAfter === sfMarkerBefore)
+
+    // run-scoped reliable checkpoints: deleted once every stage commits
+    // (stage tables are parquet-backed, nothing references them), so a
+    // run leaks no dictionary-sized checkpoint copies under its root
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/_checkpoints")),
+      "reliable checkpoints must be cleaned up after a successful run")
+  }
+
+  test("a second run on a different root checkpoints under ITS OWN root") {
+    val rootA = Files.createTempDirectory("graft_ckpt_a").toString
+    val rootB = Files.createTempDirectory("graft_ckpt_b").toString
+    runAll(rootA)
+    // run B must checkpoint under ITS OWN root, not stay pinned to
+    // rootA (the round-4 first-run-wins defect), and both runs must
+    // leave no checkpoint data behind
+    runAll(rootB)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$rootA/_checkpoints")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$rootB/_checkpoints")))
+    // the session-level dir afterwards points under the LAST run's root
+    val d = spark.sparkContext.getCheckpointDir
+    assert(d.isDefined && d.get.contains("graft_ckpt_b"))
   }
 
   test("runner model tables are bucketed; joins don't exchange the model side") {
