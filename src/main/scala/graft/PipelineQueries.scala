@@ -32,7 +32,23 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_extracted" -> ((s, _) => {
+      // S2: hash-verified downstream of stripEverything — the oracle
+      // re-derives the redirect/disambig gate, paragraph split, link walk
+      // and whitespace/apostrophe normalization from p_page_stripped.
       graft.extract.Extractor.extracted(SyntheticCorpus.webPages(s, 120))
+    }),
+    "p_page_stripped" -> ((s, _) => {
+      // Raw page source + the post-stripEverything text, emitted so the
+      // extraction oracles (p_extracted, p_occurrences) can re-derive the
+      // redirect/disambig gates, paragraph split and the full link walk in
+      // SQL. stripEverything itself (regex backreferences + the HTML4
+      // entity table — not RE2/ANSI-expressible) stays covered by the
+      // byte-identity golden specs (ExtractSpec); rows-only by design,
+      // same pattern as the p_*_raw corpus sidecars.
+      val strip = udf((m: String) => graft.extract.WikiMarkup.stripEverything(m))
+      SyntheticCorpus.webPages(s, 120)
+        .select(col("url"), decode(col("html"), "UTF-8").as("markup"))
+        .withColumn("stripped", strip(col("markup")))
     }),
     "p_paragraphs" -> ((s, _) => m(s).paragraphs.toDF()),
     "p_occurrences" -> ((s, _) => m(s).occurrences.toDF().drop("para_text")),
@@ -435,12 +451,136 @@ object PipelineQueries {
   private val XsdNonNeg = "^^<http://www.w3.org/2001/XMLSchema#nonNegativeInteger>"
   private val NifPrefix = "http://spotlight.dbpedia.org/annotate"
 
+  // ---- extraction-oracle fragments (S2-S6 downstream of stripEverything,
+  // re-derived in SQL from the p_page_stripped sidecar) ------------------
+
+  /** Java-trim's <=0x20 set restricted to the chars the extractor can see. */
+  private val WsSet = "' ' || chr(9) || chr(10) || chr(13)"
+
+  /** The `[[...]]` link pattern of WikiPageParser.LinkRe (bracket-free
+    * inner, so the char class makes laziness irrelevant). Single-quoted
+    * fragments below interpolate it verbatim. */
+  private val LinkReSql = """\[\[[^\[\]]*\]\]"""
+
+  /** Paragraph CTEs over a `pg(url, is_dis, stripped)` relation: the
+    * splitParagraphs contract — split on the reference break regex, trim,
+    * drop empties, 1-based index over the surviving paragraphs. */
+  private val ParaCtes = s"""
+      segs AS (SELECT url, is_dis,
+                 regexp_split_to_array(stripped, '${graft.extract.WikiPageParser.SplitParagraphs}') AS arr
+               FROM pg),
+      rawp AS (SELECT s2.url, s2.is_dis, i.i AS seg_idx, trim(s2.arr[i.i], $WsSet) AS para
+               FROM segs s2, LATERAL (SELECT unnest(generate_series(1, len(s2.arr))) AS i) i),
+      paras AS (SELECT url, is_dis,
+                  CAST(row_number() OVER (PARTITION BY url ORDER BY seg_idx) AS INT) AS para_idx,
+                  para
+                FROM rawp WHERE para <> '')"""
+
+  /** Per-link walk step over a recursive-CTE row `w(rest, ...)`: leftmost
+    * `[[...]]` match + the sf cleanup chain of WikiPageParser.parseParagraph
+    * (last-pipe segment, trim, trailing ` (...)` drop, leading `The `/`A `
+    * drop), the Main-namespace gate, and TextUtil.wikiEncode re-run
+    * char-by-char (cleanSpace, space→underscore, percent-encoded UTF-8
+    * bytes outside the safe set; the SQL safe set is ASCII-faithful — SQL
+    * has no Unicode isLetterOrDigit — and the fixture is ASCII, so a
+    * non-ASCII title would fail the compare loudly rather than silently). */
+  private val LinkStepSql = s"""LATERAL (
+        SELECT t2.pos, t2.m0, t2.sf3,
+          (t2.pfx IS NULL OR t2.pfx NOT IN
+            ('category','file','image','wikipedia','template','help','talk','user','portal'))
+            AND t2.sf3 <> '' AND trim(t2.dest, $WsSet) <> '' AS keep,
+          array_to_string(list_transform(
+            regexp_extract_all(replace(trim(regexp_replace(t2.dest, '[\\s_]+', ' ', 'g')), ' ', '_'), '.'),
+            c -> CASE WHEN regexp_matches(c, '^[A-Za-z0-9_\\-.~!$$&''()*+,;=:@/]$$')
+                      THEN c ELSE regexp_replace(hex(encode(c)), '(..)', '%\\1', 'g') END),
+            '') AS enc
+        FROM (
+          SELECT t1.pos, t1.m0, t1.dest, t1.sf3,
+            CASE WHEN strpos(t1.dest, ':') > 0
+                 THEN lower(substring(t1.dest, 1, strpos(t1.dest, ':') - 1)) END AS pfx
+          FROM (
+            SELECT t0.pos, t0.m0,
+              CASE WHEN strpos(t0.inn, '|') > 0
+                   THEN substring(t0.inn, 1, strpos(t0.inn, '|') - 1) ELSE t0.inn END AS dest,
+              regexp_replace(regexp_replace(
+                trim(regexp_replace(t0.inn, '^.*\\|', ''), $WsSet),
+                ' \\(.+?\\)$$', ''), '^(The|A) ', '') AS sf3
+            FROM (SELECT strpos(w.rest, m.m0) AS pos, m.m0,
+                         substring(m.m0, 3, len(m.m0) - 4) AS inn
+                  FROM (SELECT regexp_extract(w.rest, '$LinkReSql', 0) AS m0) m) t0) t1) t2) lk"""
+
   /** DuckDB oracles for the model-build family (VERDICT r2 item 3:
     * graduate these from rows-only to hash-verified). All recompute the
     * stage from p_occurrences / p_ntriples_parse — the raw extracted
     * facts — so a wrong join, salt-phase bug, or unstable dense-ID
     * assignment in ModelBuild fails the driver compare. */
   def oracleSql: Map[String, String] = Map(
+    // S2: the extracted text re-assembled from the post-strip sidecar —
+    // redirect/disambig gate (Extractor.extracted; Spark trim = spaces),
+    // paragraph split, recursive link walk replacing each [[...]] with its
+    // cleaned label, then the per-paragraph whitespace flatten + smart-
+    // apostrophe normalization and the \n\n document join.
+    "p_extracted" -> s"""
+      WITH RECURSIVE pg AS (
+        SELECT url, false AS is_dis, stripped
+        FROM ${p("p_page_stripped")}
+        WHERE NOT starts_with(lower(trim(markup)), '#redirect')
+          AND NOT (contains(lower(markup), '{{disambig')
+                   OR ends_with(url, '(disambiguation)'))),
+      $ParaCtes,
+      walk(url, para_idx, rest, clean, step) AS (
+        SELECT url, para_idx, para, '', CAST(0 AS BIGINT) FROM paras
+        UNION ALL
+        SELECT w.url, w.para_idx,
+          substring(w.rest, lk.pos + len(lk.m0)),
+          w.clean || substring(w.rest, 1, lk.pos - 1) || lk.sf3,
+          w.step + 1
+        FROM walk w, $LinkStepSql
+        WHERE regexp_matches(w.rest, '$LinkReSql')),
+      fin AS (
+        SELECT url, para_idx,
+          replace(regexp_replace(clean || rest, '\\s', ' ', 'g'), '’', chr(39)) AS ptext
+        FROM walk WHERE NOT regexp_matches(rest, '$LinkReSql'))
+      SELECT pg.url, coalesce(t.text, '') AS text
+      FROM pg LEFT JOIN (
+        SELECT url, string_agg(ptext, chr(10)||chr(10) ORDER BY para_idx) AS text
+        FROM fin GROUP BY url) t USING (url)""",
+    // S4+S5+S6 weights: the link-occurrence extraction re-walked from the
+    // post-strip sidecar — same recursive walk as p_extracted but
+    // accumulating the clean-text OFFSET, with the Main-namespace gate,
+    // wikiEncode, the ×10 disambiguation weight/provenance (re-derived
+    // from the raw markup/url, AllOccurrenceSource semantics) and the
+    // reference's `<title>-p<n>l<m>` id scheme.
+    "p_occurrences" -> s"""
+      WITH RECURSIVE pg AS (
+        SELECT url,
+          (contains(lower(markup), '{{disambig')
+           OR ends_with(url, '(disambiguation)')) AS is_dis,
+          stripped
+        FROM ${p("p_page_stripped")}
+        WHERE NOT starts_with(lower(trim(markup, $WsSet)), '#redirect')),
+      $ParaCtes,
+      walk(url, is_dis, para_idx, rest, clean_len, step, uri, sf, off) AS (
+        SELECT url, is_dis, para_idx, para, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               NULL::VARCHAR, NULL::VARCHAR, NULL::INT
+        FROM paras
+        UNION ALL
+        SELECT w.url, w.is_dis, w.para_idx,
+          substring(w.rest, lk.pos + len(lk.m0)),
+          CAST(w.clean_len + lk.pos - 1 + len(lk.sf3) AS BIGINT),
+          w.step + 1,
+          CASE WHEN lk.keep THEN lk.enc END,
+          CASE WHEN lk.keep THEN replace(lk.sf3, '’', chr(39)) END,
+          CASE WHEN lk.keep THEN CAST(w.clean_len + lk.pos - 1 AS INT) END
+        FROM walk w, $LinkStepSql
+        WHERE regexp_matches(w.rest, '$LinkReSql'))
+      SELECT
+        w.url || '-p' || CAST(w.para_idx AS VARCHAR) || 'l' ||
+          CAST(row_number() OVER (PARTITION BY w.url, w.para_idx ORDER BY w.step) AS VARCHAR) AS id,
+        w.url, w.para_idx, w.uri, w.sf, w.off AS "offset",
+        CAST(CASE WHEN w.is_dis THEN 10 ELSE 1 END AS INT) AS weight,
+        CASE WHEN w.is_dis THEN 'Disambiguation' ELSE 'Wikipedia' END AS provenance
+      FROM walk w WHERE w.uri IS NOT NULL""",
     // S3: paragraph split re-run from the emitted extracted text —
     // literal "\n\n" split, 1-based index over the ORIGINAL segment
     // positions (empty segments consume an index, Extractor.paragraphs),
