@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.textops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.textops.{ConnectedComponents, Dedup, Multimodal, Similarity, TextStats}
 
 /**
  * Training-data pipeline operators over the driver's documents/embeddings
@@ -88,6 +88,18 @@ object TextOpsQueries {
 
     "t_near_dups" -> ((s, d) =>
       Dedup.nearDuplicates(docs(s, d), threshold = 0.5)),
+
+    // true transitive-closure canonicalization over the verified pairs:
+    // large-star/small-star connected components, canonical = component
+    // min; docs with no near-dup edge canonicalize to themselves
+    "t_near_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.nearDuplicates(docs(s, d), threshold = 0.5)
+      val cc = ConnectedComponents.connectedComponents(pairs, "doc_a", "doc_b")
+      docs(s, d).select(col("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical"))
+    }),
 
     "t_simhash_pairs" -> ((s, d) =>
       Dedup.simhashCandidatePairs(docs(s, d)).filter(col("hamming") <= 16)),
@@ -244,6 +256,22 @@ object TextOpsQueries {
       FROM pairs pr JOIN sh a ON pr.doc_a = a.doc_id JOIN sh b ON pr.doc_b = b.doc_id
       WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
               / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5""",
+    // connected components re-derived as a recursive transitive closure
+    // over the emitted verified pairs — a multi-hop chain in the fixture
+    // exercises the part the single-hop policy would get wrong
+    "t_near_dup_clusters" -> s"""
+      WITH RECURSIVE sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM ${p("t_near_dups")}
+        UNION
+        SELECT doc_b, doc_a FROM ${p("t_near_dups")}),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+      comp AS (SELECT a AS node, least(a, min(b)) AS canonical
+               FROM reach GROUP BY a)
+      SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""",
     "t_simhash_pairs" -> s"""
       WITH ch AS (
         SELECT doc, sig, i.i AS chunk, (sig >> (i.i * 16)) & 65535 AS bucket

@@ -172,4 +172,52 @@ class TextOpsSpec extends AnyFunSuite {
     val videoIds = media.filter(_.media_type == "video").collect().map(_.media_id).toSet
     assert(frames.subsetOf(videoIds) && frames.nonEmpty)
   }
+
+  // ---- connected components (large-star/small-star) ----
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    graft.textops.ConnectedComponents
+      .connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: chain collapses transitively to the min") {
+    // a 6-node path is the worst diameter for the single-hop policy this
+    // operator replaces; CC must pull every node to 1
+    val m = ccMap(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L))
+    assert(m === Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 1L -> 1L))
+  }
+
+  test("connected components: separate components keep separate minima") {
+    val m = ccMap(Seq(10L -> 7L, 7L -> 3L, 20L -> 21L))
+    assert(m === Map(10L -> 3L, 7L -> 3L, 3L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: matches union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    // brute-force union-find oracle
+    val parent = scala.collection.mutable.Map((0L until 50L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    // find() roots are already component minima because unions always
+    // attach the larger root under the smaller
+    assert(ccMap(edges) === expected)
+  }
+
+  test("connected components: string ids and the cluster query singleton rule") {
+    import spark.implicits._
+    val pairs = Seq(("doc_b", "doc_c"), ("doc_c", "doc_a")).toDF("doc_a", "doc_b")
+    val cc = graft.textops.ConnectedComponents.connectedComponents(pairs, "doc_a", "doc_b")
+    val all = Seq("doc_a", "doc_b", "doc_c", "doc_z").toDF("doc_id")
+    val canon = all.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canonical"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon === Map("doc_a" -> "doc_a", "doc_b" -> "doc_a",
+      "doc_c" -> "doc_a", "doc_z" -> "doc_z"))
+  }
 }
