@@ -451,6 +451,41 @@ object PipelineQueries {
   private val XsdNonNeg = "^^<http://www.w3.org/2001/XMLSchema#nonNegativeInteger>"
   private val NifPrefix = "http://spotlight.dbpedia.org/annotate"
 
+  /** Shared AIDA/CoNLL parse CTEs over p_conll_raw — doc markers, token
+    * fields, per-doc token ordinal. Used by the p_conll_gold and
+    * p_small_context oracles (factored so the two cannot drift). Ends
+    * with a `toks(line_no, doc_start, url, token, bio, sf, uri, ti)`
+    * relation; interpolate inside a WITH list. */
+  private lazy val ConllToksCtes: String = s"""parsed AS (
+        SELECT line_no,
+          regexp_matches(line, '^-DOCSTART- \\((\\d+)(.+)\\)') AS is_doc,
+          regexp_extract(line, '^-DOCSTART- \\((\\d+)(.+)\\)', 1) AS doc_id,
+          regexp_extract(line, '^-DOCSTART- \\((\\d+)(.+)\\)', 2) AS doc_label,
+          regexp_matches(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$') AS is_tok,
+          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 1) AS f_tok,
+          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 2) AS f_bio,
+          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 3) AS f_sf,
+          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 4) AS f_uri,
+          trim(line) AS plain
+        FROM ${p("p_conll_raw")}),
+      docs AS (
+        SELECT *, max(CASE WHEN is_doc THEN line_no END)
+                   OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS doc_start
+        FROM parsed),
+      hdr AS (
+        SELECT line_no AS doc_start,
+               doc_id || '_' || replace(trim(doc_label), ' ', '_') AS url
+        FROM parsed WHERE is_doc),
+      toks AS (
+        SELECT d.line_no, d.doc_start, h.url,
+               CASE WHEN d.is_tok THEN d.f_tok ELSE d.plain END AS token,
+               CASE WHEN d.is_tok THEN d.f_bio ELSE '' END AS bio,
+               CASE WHEN d.is_tok THEN d.f_sf ELSE '' END AS sf,
+               CASE WHEN d.is_tok THEN d.f_uri ELSE '' END AS uri,
+               row_number() OVER (PARTITION BY d.doc_start ORDER BY d.line_no) AS ti
+        FROM docs d JOIN hdr h USING (doc_start)
+        WHERE NOT d.is_doc)"""
+
   // ---- extraction-oracle fragments (S2-S6 downstream of stripEverything,
   // re-derived in SQL from the p_page_stripped sidecar) ------------------
 
@@ -1169,35 +1204,7 @@ object PipelineQueries {
     // deletes its preceding space — exclusive prefix sum per document,
     // matching Corpora.parseConllDocs's StringBuilder walk).
     "p_conll_gold" -> s"""
-      WITH parsed AS (
-        SELECT line_no,
-          regexp_matches(line, '^-DOCSTART- \\((\\d+)(.+)\\)') AS is_doc,
-          regexp_extract(line, '^-DOCSTART- \\((\\d+)(.+)\\)', 1) AS doc_id,
-          regexp_extract(line, '^-DOCSTART- \\((\\d+)(.+)\\)', 2) AS doc_label,
-          regexp_matches(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$') AS is_tok,
-          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 1) AS f_tok,
-          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 2) AS f_bio,
-          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 3) AS f_sf,
-          regexp_extract(line, '^(\\S+)\\t(\\S+)\\t(.+)\\t(\\S+)\\t(\\S+)$$', 4) AS f_uri,
-          trim(line) AS plain
-        FROM ${p("p_conll_raw")}),
-      docs AS (
-        SELECT *, max(CASE WHEN is_doc THEN line_no END)
-                   OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS doc_start
-        FROM parsed),
-      hdr AS (
-        SELECT line_no AS doc_start,
-               doc_id || '_' || replace(trim(doc_label), ' ', '_') AS url
-        FROM parsed WHERE is_doc),
-      toks AS (
-        SELECT d.line_no, d.doc_start, h.url,
-               CASE WHEN d.is_tok THEN d.f_tok ELSE d.plain END AS token,
-               CASE WHEN d.is_tok THEN d.f_bio ELSE '' END AS bio,
-               CASE WHEN d.is_tok THEN d.f_sf ELSE '' END AS sf,
-               CASE WHEN d.is_tok THEN d.f_uri ELSE '' END AS uri,
-               row_number() OVER (PARTITION BY d.doc_start ORDER BY d.line_no) AS ti
-        FROM docs d JOIN hdr h USING (doc_start)
-        WHERE NOT d.is_doc),
+      WITH $ConllToksCtes,
       offs AS (
         SELECT *, CAST(coalesce(sum(len(token) + 1
                   - CASE WHEN token IN ('''s', ':', ',', '!', '.') AND ti > 1
@@ -1207,6 +1214,35 @@ object PipelineQueries {
         FROM toks)
       SELECT url, CAST(1 AS INT) AS para_idx, uri, sf, "offset"
       FROM offs WHERE bio = 'B'""",
+    // The SmallContextOccurrences transform re-derived: document text
+    // reconstructed from the raw CoNLL lines with the reader's builder
+    // walk (space after every token; "'s : , ! ." deletes the preceding
+    // space; final trim), then split at each gold offset into last-10 /
+    // first-11 space-separated words with Java split semantics —
+    // rtrim-before-split models split(" ")'s trailing-empty removal,
+    // plain string_split models the limit>0 variant that KEEPS trailing
+    // empties (Corpora.smallContext).
+    "p_small_context" -> s"""
+      WITH $ConllToksCtes,
+      txt AS (
+        SELECT url, trim(string_agg(
+            CASE WHEN ti = 1 OR token IN ('''s', ':', ',', '!', '.')
+                 THEN '' ELSE ' ' END || token, '' ORDER BY ti), ' ') AS t
+        FROM toks GROUP BY url),
+      sides AS (
+        SELECT g.url, g.para_idx, g.uri, g."offset",
+               substring(t.t, 1, g."offset") AS l,
+               substring(t.t, g."offset" + 1) AS r
+        FROM ${p("p_conll_gold")} g JOIN txt t USING (url)),
+      leftc AS (
+        SELECT *, array_to_string(
+            larr[greatest(len(larr) - 9, 1):len(larr)], ' ') AS left_s
+        FROM (SELECT *, string_split(rtrim(l, ' '), ' ') AS larr FROM sides))
+      SELECT url || '-' || uri || '-' || CAST("offset" AS VARCHAR) AS url,
+             para_idx,
+             (CASE WHEN left_s = '' THEN '' ELSE left_s || ' ' END) ||
+               array_to_string(string_split(r, ' ')[1:11], ' ') AS para_text
+      FROM leftc""",
     // The CSAW reader re-walked from the raw inputs: annotation elements
     // split out of the XML payload with RE2, unlinkable (empty wikiName)
     // records dropped, and the surface form recovered by the same
