@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
  *    (ReuseExchange) — no per-node neighbor arrays are ever
  *    materialized, which is what keeps a 10^8-degree boilerplate hub
  *    from OOMing a task (AQE skew-split handles the join residual).
- *  - Per-iteration lineage is truncated with an eager localCheckpoint —
- *    without it the plan doubles every round and Catalyst analysis
- *    dominates past ~10 iterations. localCheckpoint keeps blocks on
- *    executors (lost on executor failure); a production cluster run
- *    would swap in reliable `checkpoint` against the job's run-scoped
- *    checkpoint dir (pipeline.Runner already provisions one).
+ *  - Per-iteration lineage is truncated with a LAZY localCheckpoint that
+ *    the convergence-signature action materializes (one job per round,
+ *    not two) — without truncation the plan doubles every round and
+ *    Catalyst analysis dominates past ~10 iterations. localCheckpoint
+ *    keeps blocks on executors (lost on executor failure); a production
+ *    cluster run would swap in reliable `checkpoint` against the job's
+ *    run-scoped checkpoint dir (pipeline.Runner already provisions one).
  *  - The driver-side loop action per round is a single 2-column
  *    aggregate row (edge count + order-independent xxhash64 sum), not a
  *    collect of data: convergence = the signature of the edge set
@@ -36,7 +37,7 @@ object ConnectedComponents {
   /** One large-star round: every node v in Γ(u) with v > u gets an edge
    *  to m = min(Γ(u) ∪ {u}). Relational form — groupBy-min then join
    *  back on u — so high-degree nodes never build an in-memory list. */
-  private[textops] def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
     val mins = sym.groupBy("src")
@@ -49,7 +50,7 @@ object ConnectedComponents {
 
   /** One small-star round: orient every edge large→small, then hang each
    *  smaller neighbor (and u itself) off m = min(N(u) ∪ {u}). */
-  private[textops] def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     val oriented = e.filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
@@ -79,14 +80,16 @@ object ConnectedComponents {
           lit(java.math.BigDecimal.ZERO))).head()
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
+    // lazy localCheckpoint: the signature action right after is the job
+    // that materializes it, so each round runs ONE job, not two
     var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var sig = signature(e)
-    var converged = e.isEmpty
+    var converged = sig._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

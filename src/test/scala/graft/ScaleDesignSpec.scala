@@ -97,4 +97,18 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(row.getAs[Int]("res_id") === 7)
     assert(row.getAs[String]("sf") === "Cars") // original sf preserved
   }
+
+  test("connected-components star rounds are join-based, no cartesian, no arrays") {
+    import spark.implicits._
+    val edges = Seq.tabulate(200)(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+      .select(col("a").as("src"), col("b").as("dst"))
+    for ((name, step) <- Seq(
+        "largeStar" -> graft.textops.ConnectedComponents.largeStar(edges),
+        "smallStar" -> graft.textops.ConnectedComponents.smallStar(edges))) {
+      val plan = step.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+        s"$name materializes per-node neighbor arrays")
+    }
+  }
 }
