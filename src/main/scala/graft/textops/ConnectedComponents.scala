@@ -34,6 +34,8 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.textops.ConnectedComponents")
+
   /** One large-star round: every node v in Γ(u) with v > u gets an edge
    *  to m = min(Γ(u) ∪ {u}). Relational form — groupBy-min then join
    *  back on u — so high-degree nodes never build an in-memory list. */
@@ -96,6 +98,13 @@ object ConnectedComponents {
       e = next
       i += 1
     }
+    // no silent caps: an unconverged stop means the mapping below may
+    // split one component across several partial roots
+    if (!converged)
+      log.warn(s"connectedComponents stopped at maxIter=$maxIter without " +
+        s"converging (${sig._1} edges live); raise maxIter for this graph")
+    else if (i > 0)
+      log.info(s"connectedComponents converged after $i round(s), ${sig._1} star edges")
     // At the fixpoint the edge set is a disjoint union of stars rooted at
     // each component's minimum: every non-root appears exactly once as
     // src, roots only as dst.
