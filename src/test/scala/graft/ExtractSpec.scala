@@ -94,4 +94,21 @@ class ExtractSpec extends AnyFunSuite {
     val text = WikiPageParser.extractText(markup)
     assert(text === "Intro with Mercury.\n\nSecond & para.\n\nTail.")
   }
+
+  test("synthetic corpus carries no VT/FF (extraction-oracle whitespace guard)") {
+    // The DuckDB extraction oracles (p_extracted / p_occurrences) model
+    // Java trim with a space/TAB/LF/CR set and RE2's \s (which excludes
+    // \u000B) — both diverge from Java on vertical tab and form feed.
+    // The divergence is harmless only while the corpus never emits those
+    // two chars; this pins that invariant so a fixture change fails HERE
+    // with a message instead of as an opaque driver hash mismatch.
+    val spark = GraftSession.local(2)
+    import org.apache.spark.sql.functions._
+    val bad = graft.sources.SyntheticCorpus.webPages(spark, 120)
+      .select(decode(col("html"), "UTF-8").as("m"))
+      .filter(col("m").contains("\u000B") || col("m").contains("\u000C"))
+      .count()
+    assert(bad === 0L, "synthetic markup contains VT/FF; the extraction " +
+      "oracles' whitespace model no longer matches Java trim/\\s semantics")
+  }
 }
