@@ -8,27 +8,29 @@ import org.apache.spark.sql.functions._
  * dedup-canonicalization stage): run large-star/small-star over a
  * deterministic synthetic edge list at two local parallelism levels
  * (same ScalingBench protocol: identical input, identical shuffle
- * partitioning at both levels, warmup discarded, best-of reported).
+ * partitioning at both levels, warmup discarded, best-of reported,
+ * counters required identical across EVERY run at both levels).
  *
  * The synthetic graph stresses the algorithm where single-hop policies
- * break and where skew hits: long chains (worst-case diameter forces
- * the O(log n) alternation to do real work) plus star hubs (one
- * high-degree node per block exercises the groupBy-min/join skew path).
- * Deterministic by construction — no RNG: edge i of block b is
- * (b*span+i, b*span+i+1) for chains; hubs connect b*span to each chain
- * midpoint.
+ * break and where skew hits: chain blocks (worst-case diameter forces
+ * the O(log n) alternation to do real work) plus star blocks (one
+ * high-degree hub per star block exercises the groupBy-min/join skew
+ * path). Deterministic by construction — no RNG; see [[edges]] for the
+ * exact shape.
  *
- * Usage: runMain graft.CcProbe [nEdges] [small] [large] [runs] [shufflePartitions]
+ * Usage: runMain graft.CcProbe [nEdges] [small] [large] [runs] [shufflePartitions] [span]
  * Prints one JSON line per (level, run) plus a summary with efficiency.
  */
 object CcProbe {
 
-  /** nEdges edges in 1000-edge blocks over disjoint 1001-node ranges:
-    * block b holds nodes [b*1001, b*1001+1000]. Every 10th block is a
-    * STAR (all edges from the block head — a 1000-degree hub, the skew
-    * path); the rest are CHAINS (edge j is (base+j, base+j+1) — worst
-    * diameter, forces the large/small-star alternation to do real
-    * work). Components = number of blocks, checkable arithmetic. */
+  /** nEdges edges in span-edge blocks over disjoint (span+1)-node
+    * ranges: block b holds nodes [b*(span+1), b*(span+1)+span]. Every
+    * 10th block is a STAR (all span edges from the block head — a
+    * span-degree hub, the skew path); the rest are CHAINS (edge j of
+    * the block is (base+j, base+j+1) — worst diameter, forces the
+    * large/small-star alternation to do real work). Components =
+    * ceil(nEdges/span) exactly; mapped nodes = components*(span+1) when
+    * span divides nEdges — checkable arithmetic, asserted in main. */
   private def edges(spark: SparkSession, nEdges: Long, span: Long) = {
     val base = floor(col("id") / span).cast("long") * (span + 1)
     val j = col("id") % span
@@ -48,7 +50,9 @@ object CcProbe {
       val t0 = System.nanoTime()
       val cc = graft.textops.ConnectedComponents
         .connectedComponents(edges(spark, nEdges, span), "src", "dst")
-      val row = cc.agg(count(lit(1)), approx_count_distinct(col("component"))).head()
+      // exact countDistinct, not approx: the component count is part of
+      // the published evidence and must match the block arithmetic
+      val row = cc.agg(count(lit(1)), countDistinct(col("component"))).head()
       val secs = (System.nanoTime() - t0) / 1e9
       (secs, row.getLong(0), row.getLong(1))
     } finally spark.stop()
@@ -64,19 +68,30 @@ object CcProbe {
     // case; ~20 models realistic near-dup clusters (converges in ~6
     // rounds instead of ~11)
     val span = args.lift(5).map(_.toLong).getOrElse(1000L)
-    def level(cpus: Int): (Double, Long, Long) = {
+    val allCounters = Vector.newBuilder[(Long, Long)]
+    def level(cpus: Int): Double = {
       runOnce(cpus, nEdges, parts, span) // discarded warmup (JIT, code cache)
-      val all = (1 to runs).map { r =>
+      (1 to runs).map { r =>
         val (s, nodes, comps) = runOnce(cpus, nEdges, parts, span)
+        allCounters += ((nodes, comps))
         println(f"""{"level":$cpus,"run":$r,"sec":$s%.1f,"nodes":$nodes,"components":$comps}""")
-        (s, nodes, comps)
-      }
-      all.minBy(_._1)
+        s
+      }.min
     }
-    val (sSmall, nodesS, compsS) = level(small)
-    val (sLarge, nodesL, compsL) = level(large)
+    val sSmall = level(small)
+    val sLarge = level(large)
+    // ScalingBench's determinism gate: every run at both levels must
+    // produce the same counters, and they must match the block
+    // arithmetic — a nondeterministic (e.g. unconverged) run would
+    // invalidate the throughput comparison
+    val counters = allCounters.result()
+    require(counters.distinct.size == 1,
+      s"nondeterministic counters across runs: ${counters.distinct}")
+    val expectedComps = (nEdges + span - 1) / span
+    require(counters.head._2 == expectedComps,
+      s"components ${counters.head._2} != block arithmetic $expectedComps")
     val speedup = sSmall / sLarge
     val eff = speedup / (large.toDouble / small)
-    println(f"""{"metric":"cc_scaling","edges":$nEdges,"span":$span,"small":$small,"large":$large,"sec_small":$sSmall%.1f,"sec_large":$sLarge%.1f,"edges_per_sec_small":${nEdges / sSmall}%.0f,"edges_per_sec_large":${nEdges / sLarge}%.0f,"efficiency":$eff%.3f,"counters_identical":${nodesS == nodesL && compsS == compsL}}""")
+    println(f"""{"metric":"cc_scaling","edges":$nEdges,"span":$span,"small":$small,"large":$large,"sec_small":$sSmall%.1f,"sec_large":$sLarge%.1f,"edges_per_sec_small":${nEdges / sSmall}%.0f,"edges_per_sec_large":${nEdges / sLarge}%.0f,"efficiency":$eff%.3f,"nodes":${counters.head._1},"components":${counters.head._2},"counters_identical":true}""")
   }
 }

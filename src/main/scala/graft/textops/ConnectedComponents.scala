@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
  * Distributed connected components over an undirected edge list, via the
  * alternating large-star / small-star algorithm (Kiveris et al.,
  * "Connected Components in MapReduce and Beyond", SoCC'14) — O(log^2 n)
- * rounds in the worst case, each round two shuffles, no driver-side
- * graph state. This upgrades near-dup cluster canonicalization from the
+ * rounds in the worst case, each round a bounded handful of
+ * key-partitioned shuffles (per star step: symmetrize/orient + distinct,
+ * groupBy-min, a same-key join that reuses its exchange, output
+ * distinct), no driver-side graph state. This upgrades near-dup cluster canonicalization from the
  * single-hop min-neighbor policy to true transitive closure: a chain
  * A~B~C now canonicalizes all three to min(A,B,C).
  *
@@ -82,6 +84,14 @@ object ConnectedComponents {
           lit(java.math.BigDecimal.ZERO))).head()
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
+    // the checkpointed RDD behind a localCheckpoint'd frame, so the
+    // PREVIOUS round's blocks can be freed as soon as the next round is
+    // materialized — GC + ContextCleaner would get there eventually, but
+    // an 11-round run should hold 2 edge-set copies, not 11
+    def checkpointedRdd(df: DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     // lazy localCheckpoint: the signature action right after is the job
     // that materializes it, so each round runs ONE job, not two
     var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -92,7 +102,8 @@ object ConnectedComponents {
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
-      val nextSig = signature(next)
+      val nextSig = signature(next) // materializes next (last read of e)
+      checkpointedRdd(e).foreach(_.unpersist(blocking = false))
       converged = nextSig == sig
       sig = nextSig
       e = next
