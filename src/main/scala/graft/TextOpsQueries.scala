@@ -49,6 +49,27 @@ object TextOpsQueries {
       }
     }
 
+  /** Verified near-dup pairs shared by t_near_dups and
+    * t_near_dup_clusters — the production shape (pairs materialized
+    * once, consumers read the table), and the same session-keyed cache
+    * discipline as ivfCodebooks: keyed per (session, dir), replaced when
+    * a new session shows up so stopped sessions are not retained. */
+  private val nearDupPairCache =
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      nearDupPairCache.get(d) match {
+        case Some((sess, df)) if sess eq s => df
+        case _ =>
+          nearDupPairCache.foreach { case (k, (sess, df)) =>
+            if (!(sess eq s)) { df.unpersist(); nearDupPairCache.remove(k): Unit }
+          }
+          val df = Dedup.nearDuplicates(docs(s, d), threshold = 0.5).cache()
+          nearDupPairCache.put(d, (s, df))
+          df
+      }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- text analysis ----------------------------------------------------
@@ -86,14 +107,13 @@ object TextOpsQueries {
     "t_minhash_bands" -> ((s, d) =>
       Dedup.minhashBands(docs(s, d), bands = 8, rows = 4)),
 
-    "t_near_dups" -> ((s, d) =>
-      Dedup.nearDuplicates(docs(s, d), threshold = 0.5)),
+    "t_near_dups" -> ((s, d) => nearDupPairs(s, d)),
 
     // true transitive-closure canonicalization over the verified pairs:
     // large-star/small-star connected components, canonical = component
     // min; docs with no near-dup edge canonicalize to themselves
     "t_near_dup_clusters" -> ((s, d) => {
-      val pairs = Dedup.nearDuplicates(docs(s, d), threshold = 0.5)
+      val pairs = nearDupPairs(s, d)
       val cc = ConnectedComponents.connectedComponents(pairs, "doc_a", "doc_b")
       docs(s, d).select(col("doc_id"))
         .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
