@@ -49,7 +49,11 @@ object ConnectedComponents {
     sym.join(mins, "src")
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
+    // no trailing distinct: the same (v, m) edge can emerge from
+    // different u-groups, but smallStar's orient step dedupes first
+    // thing, so a distinct here would only add a shuffle per round.
+    // (The convergence signature never reads largeStar output directly
+    // — it runs on smallStar's, which IS distinct.)
   }
 
   /** One small-star round: orient every edge large→small, then hang each
