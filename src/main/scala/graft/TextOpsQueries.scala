@@ -96,6 +96,9 @@ object TextOpsQueries {
       docs(s, d).select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))),
 
     // -- dedup -------------------------------------------------------------
+    // Gopher-style repetition quality metrics (n-gram family)
+    "t_repetition_stats" -> ((s, d) => TextStats.repetitionStats(docs(s, d))),
+
     "t_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d))),
 
     "t_minhash_pairs" -> ((s, d) =>
@@ -243,6 +246,41 @@ object TextOpsQueries {
         sqrt(list_sum(list_transform(b.vec, x -> x*x))))"""
 
   def oracleSql: Map[String, String] = Map(
+    // Gopher-style repetition metrics re-derived exactly: same
+    // whitespace split, per-(doc, gram) counts, dup/top fractions,
+    // round(…,6), 0.0 when the doc is too short for the n-gram order
+    "t_repetition_stats" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      c1 AS (SELECT doc_id, g, count(*) AS c
+             FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY 1, 2),
+      a1 AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+                 AS dup_token_frac
+             FROM c1 GROUP BY 1),
+      c2 AS (SELECT doc_id, g, count(*) AS c
+             FROM (SELECT doc_id,
+                     unnest([t[i+1] || ' ' || t[i+2] FOR i IN range(0, len(t) - 1)]) AS g
+                   FROM toks WHERE len(t) >= 2) GROUP BY 1, 2),
+      a2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+             FROM c2 GROUP BY 1),
+      c3 AS (SELECT doc_id, g, count(*) AS c
+             FROM (SELECT doc_id,
+                     unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                             FOR i IN range(0, len(t) - 2)]) AS g
+                   FROM toks WHERE len(t) >= 3) GROUP BY 1, 2),
+      a3 AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+                 AS dup_trigram_frac
+             FROM c3 GROUP BY 1)
+      SELECT d.doc_id,
+             round(coalesce(a1.dup_token_frac, 0), 6) AS dup_token_frac,
+             round(coalesce(a2.top_bigram_frac, 0), 6) AS top_bigram_frac,
+             round(coalesce(a3.dup_trigram_frac, 0), 6) AS dup_trigram_frac
+      FROM documents d
+      LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)
+      LEFT JOIN a3 USING (doc_id)""",
     // ---- LSH families (VERDICT r3 "oracle depth"): the xxhash64 /
     // hyperplane keys pass through via the raw-emitted sidecar tables
     // (t_minhash_bands / t_simhash_sigs / t_ann_buckets / t_emb_buckets);

@@ -91,6 +91,52 @@ object TextStats {
    *  (graft.functions.FnvFingerprint). */
   def fingerprint(c: Column): Column = graft.functions.GraftFunctions.fnvFingerprint(c)
 
+  /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1,
+    * the published pretraining-data repetition filters), n-gram family —
+    * the line-level variants degenerate on single-line web text, and
+    * what they detect (boilerplate loops, generated spam) shows up in
+    * token n-gram statistics at least as strongly:
+    *
+    *  - `dup_token_frac`: fraction of whitespace tokens occurring more
+    *    than once in the doc (all members of a duplicate group count);
+    *  - `top_bigram_frac`: occurrences of the most frequent word bigram
+    *    / total bigrams;
+    *  - `dup_trigram_frac`: fraction of word trigrams occurring more
+    *    than once.
+    *
+    * Pure column algebra — explode + two groupBys per n-gram order, all
+    * map-side combinable, no UDF — so the whole thing stays in
+    * whole-stage codegen and the DuckDB oracle re-derives it exactly
+    * (round(…,6), fractions defined 0.0 when the denominator is 0). */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+").as("t"))
+    def gram(n: Int) = explode(expr(
+      s"transform(sequence(0, size(t) - $n), i -> " +
+        (1 to n).map(k => s"element_at(t, i + $k)").mkString("concat_ws(' ', ", ", ", ")") + ")"))
+    def fracs(n: Int, topName: String, dupName: String) = {
+      val counts = toks.filter(size(col("t")) >= n)
+        .select(col("doc_id"), gram(n).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id").agg(
+        (max(col("c")).cast("double") / sum(col("c"))).as(topName),
+        (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") /
+          sum(col("c"))).as(dupName))
+    }
+    val uni = fracs(1, "_top1", "dup_token_frac")
+    val bi = fracs(2, "top_bigram_frac", "_dup2")
+    val tri = fracs(3, "_top3", "dup_trigram_frac")
+    docs.select(col(idCol).as("doc_id"))
+      .join(uni.select(col("doc_id"), col("dup_token_frac")), Seq("doc_id"), "left")
+      .join(bi.select(col("doc_id"), col("top_bigram_frac")), Seq("doc_id"), "left")
+      .join(tri.select(col("doc_id"), col("dup_trigram_frac")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("dup_token_frac"), lit(0.0)), 6).as("dup_token_frac"),
+        round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac"),
+        round(coalesce(col("dup_trigram_frac"), lit(0.0)), 6).as("dup_trigram_frac"))
+  }
+
   /** All stats in one pass over documents(doc_id, text, ...). */
   def documentStats(docs: DataFrame): DataFrame =
     docs.select(

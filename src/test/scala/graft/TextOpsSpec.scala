@@ -220,4 +220,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(canon === Map("doc_a" -> "doc_a", "doc_b" -> "doc_a",
       "doc_c" -> "doc_a", "doc_z" -> "doc_z"))
   }
+
+  test("repetition stats: hand-computed Gopher-style n-gram fractions") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a b"),               // dup tokens 2/3; bigrams {a a, a b} top 1/2; 1 trigram, no dup
+      (2L, "x y x y x y"),         // all tokens dup; "x y"x3 of 5 bigrams; all 4 trigrams dup
+      (3L, "unique words only"),   // no repetition
+      (4L, "solo")                 // too short for bigrams/trigrams -> 0.0
+    ).toDF("doc_id", "text")
+    val out = graft.textops.TextStats.repetitionStats(d)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((0.666667, 0.5, 0.0)))
+    assert(out(2L) === ((1.0, 0.6, 1.0)))
+    assert(out(3L) === ((0.0, 0.5, 0.0)))
+    assert(out(4L) === ((0.0, 0.0, 0.0)))
+  }
 }
