@@ -62,7 +62,12 @@ object TextOpsQueries {
         case Some((sess, df)) if sess eq s => df
         case _ =>
           nearDupPairCache.foreach { case (k, (sess, df)) =>
-            if (!(sess eq s)) { df.unpersist(); nearDupPairCache.remove(k): Unit }
+            if (!(sess eq s)) {
+              // the old session is usually stopped by now — unpersist on
+              // a dead context throws, and the blocks died with it anyway
+              try df.unpersist() catch { case _: Exception => () }
+              nearDupPairCache.remove(k): Unit
+            }
           }
           val df = Dedup.nearDuplicates(docs(s, d), threshold = 0.5).cache()
           nearDupPairCache.put(d, (s, df))
