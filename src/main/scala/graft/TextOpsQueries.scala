@@ -252,11 +252,16 @@ object TextOpsQueries {
 
   def oracleSql: Map[String, String] = Map(
     // Gopher-style repetition metrics re-derived exactly: same
-    // whitespace split, per-(doc, gram) counts, dup/top fractions,
-    // round(…,6), 0.0 when the doc is too short for the n-gram order
+    // whitespace split with boundary empties dropped, per-(doc, gram)
+    // counts, dup/top fractions, round(…,6), 0.0 when the doc is too
+    // short for the n-gram order. Same \s caveat as the other token
+    // oracles: RE2 \s excludes U+000B where Java's includes it — safe
+    // while the driver-generated documents table carries no VT/FF.
     "t_repetition_stats" -> """
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS t
         FROM documents),
       c1 AS (SELECT doc_id, g, count(*) AS c
              FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY 1, 2),

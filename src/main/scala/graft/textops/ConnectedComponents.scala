@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
  * "Connected Components in MapReduce and Beyond", SoCC'14) — O(log^2 n)
  * rounds in the worst case, each round a bounded handful of
  * key-partitioned shuffles (per star step: symmetrize/orient + distinct,
- * groupBy-min, a same-key join that reuses its exchange, output
+ * groupBy-min, a same-key join that reuses its exchange; only smallStar
+ * dedupes its output — largeStar feeds straight into smallStar's orient
  * distinct), no driver-side graph state. This upgrades near-dup cluster canonicalization from the
  * single-hop min-neighbor policy to true transitive closure: a chain
  * A~B~C now canonicalizes all three to min(A,B,C).

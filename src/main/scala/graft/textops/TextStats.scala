@@ -104,33 +104,38 @@ object TextStats {
     *  - `dup_trigram_frac`: fraction of word trigrams occurring more
     *    than once.
     *
-    * Pure column algebra — explode + two groupBys per n-gram order, all
-    * map-side combinable, no UDF — so the whole thing stays in
-    * whole-stage codegen and the DuckDB oracle re-derives it exactly
-    * (round(…,6), fractions defined 0.0 when the denominator is 0). */
+    * Pure column algebra, ONE scan + two shuffles for all three orders:
+    * a single explode emits (order, gram) rows for n = 1..3, one
+    * groupBy(doc, order, gram) counts them, one conditional-aggregate
+    * groupBy(doc) folds the fractions — all map-side combinable, no
+    * UDF, whole-stage codegen throughout. Empty tokens from
+    * leading/trailing non-space whitespace (trim strips only 0x20;
+    * split keeps boundary empties) are dropped so a trailing newline
+    * cannot dilute the fractions with a phantom token. The DuckDB
+    * oracle re-derives it exactly (round(…,6), fractions 0.0 when the
+    * doc is shorter than the n-gram order). */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
-      split(lower(trim(col(textCol))), "\\s+").as("t"))
-    def gram(n: Int) = explode(expr(
-      s"transform(sequence(0, size(t) - $n), i -> " +
-        (1 to n).map(k => s"element_at(t, i + $k)").mkString("concat_ws(' ', ", ", ", ")") + ")"))
-    def fracs(n: Int, topName: String, dupName: String) = {
-      val counts = toks.filter(size(col("t")) >= n)
-        .select(col("doc_id"), gram(n).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      counts.groupBy("doc_id").agg(
-        (max(col("c")).cast("double") / sum(col("c"))).as(topName),
-        (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") /
-          sum(col("c"))).as(dupName))
-    }
-    val uni = fracs(1, "_top1", "dup_token_frac")
-    val bi = fracs(2, "top_bigram_frac", "_dup2")
-    val tri = fracs(3, "_top3", "dup_trigram_frac")
+      array_remove(split(lower(trim(col(textCol))), "\\s+"), "").as("t"))
+    val grams = toks.select(col("doc_id"), explode(expr(
+      """flatten(transform(array(1, 2, 3), n ->
+           transform(if(size(t) >= n, sequence(1, size(t) - n + 1), array()),
+             i -> struct(n AS ord, concat_ws(' ', slice(t, i, n)) AS gram))))"""
+    )).as("g"))
+      .select(col("doc_id"), col("g.ord").as("ord"), col("g.gram").as("gram"))
+    val aggs = grams.groupBy("doc_id", "ord", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        (sum(when(col("ord") === 1 && col("c") > 1, col("c")).otherwise(0L))
+          .cast("double") / sum(when(col("ord") === 1, col("c"))))
+          .as("dup_token_frac"),
+        (max(when(col("ord") === 2, col("c"))).cast("double") /
+          sum(when(col("ord") === 2, col("c")))).as("top_bigram_frac"),
+        (sum(when(col("ord") === 3 && col("c") > 1, col("c")).otherwise(0L))
+          .cast("double") / sum(when(col("ord") === 3, col("c"))))
+          .as("dup_trigram_frac"))
     docs.select(col(idCol).as("doc_id"))
-      .join(uni.select(col("doc_id"), col("dup_token_frac")), Seq("doc_id"), "left")
-      .join(bi.select(col("doc_id"), col("top_bigram_frac")), Seq("doc_id"), "left")
-      .join(tri.select(col("doc_id"), col("dup_trigram_frac")), Seq("doc_id"), "left")
+      .join(aggs, Seq("doc_id"), "left")
       .select(col("doc_id"),
         round(coalesce(col("dup_token_frac"), lit(0.0)), 6).as("dup_token_frac"),
         round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac"),

@@ -227,7 +227,8 @@ class TextOpsSpec extends AnyFunSuite {
       (1L, "a a b"),               // dup tokens 2/3; bigrams {a a, a b} top 1/2; 1 trigram, no dup
       (2L, "x y x y x y"),         // all tokens dup; "x y"x3 of 5 bigrams; all 4 trigrams dup
       (3L, "unique words only"),   // no repetition
-      (4L, "solo")                 // too short for bigrams/trigrams -> 0.0
+      (4L, "solo"),                // too short for bigrams/trigrams -> 0.0
+      (5L, "a a\n")                // trailing newline must NOT add a phantom token
     ).toDF("doc_id", "text")
     val out = graft.textops.TextStats.repetitionStats(d)
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
@@ -235,5 +236,6 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L) === ((1.0, 0.6, 1.0)))
     assert(out(3L) === ((0.0, 0.5, 0.0)))
     assert(out(4L) === ((0.0, 0.0, 0.0)))
+    assert(out(5L) === ((1.0, 1.0, 0.0)))
   }
 }
