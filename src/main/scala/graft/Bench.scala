@@ -29,11 +29,26 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Shared IVF codebook trained outside the timed loop, as its own
+    // entry — otherwise whichever IVF-family query runs first absorbs
+    // ~3 s of k-means training into a 500-row assignment query's number.
+    val ti = System.nanoTime()
+    try TextOpsQueries.warmIvfCodebook(spark, sfDir) catch { case _: Throwable => () }
+    val ivfTrain = (System.nanoTime() - ti) / 1e9
+
+    // Best-of-2 per query: same-code totals on this box spread ±30%
+    // (page cache/GC state), which blinded cross-round per-query diffs
+    // below ~1.5×; the warm minimum is the comparable number and shrinks
+    // the observed band to ~1.1-1.2× (VERDICT r4). One-time costs
+    // (model build, IVF training) are measured once, separately, above.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    } + ("model_build" -> modelBuild)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
+    } + ("model_build" -> modelBuild) + ("ivf_train" -> ivfTrain)
     // Timings rounded to 3 decimals: at 76+ queries a full-double-precision
     // line overran the driver's tail-capture window in round 2
     // (BENCH_r02 parsed: null) — ~1.5 KB rounded fits any plausible window.

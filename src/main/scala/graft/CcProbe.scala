@@ -90,6 +90,11 @@ object CcProbe {
     val expectedComps = (nEdges + span - 1) / span
     require(counters.head._2 == expectedComps,
       s"components ${counters.head._2} != block arithmetic $expectedComps")
+    // node-count side of the block arithmetic (exact only when span
+    // divides nEdges — a ragged last block has fewer than span+1 nodes)
+    if (nEdges % span == 0)
+      require(counters.head._1 == expectedComps * (span + 1),
+        s"nodes ${counters.head._1} != block arithmetic ${expectedComps * (span + 1)}")
     val speedup = sSmall / sLarge
     val eff = speedup / (large.toDouble / small)
     println(f"""{"metric":"cc_scaling","edges":$nEdges,"span":$span,"small":$small,"large":$large,"sec_small":$sSmall%.1f,"sec_large":$sLarge%.1f,"edges_per_sec_small":${nEdges / sSmall}%.0f,"edges_per_sec_large":${nEdges / sLarge}%.0f,"efficiency":$eff%.3f,"nodes":${counters.head._1},"components":${counters.head._2},"counters_identical":true}""")

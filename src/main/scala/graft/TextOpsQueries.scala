@@ -38,6 +38,12 @@ object TextOpsQueries {
     * retained. */
   private val ivfCodebooks =
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Array[(Int, Array[Double])])]
+  /** Train (and cache) the shared IVF codebook now — Bench calls this
+    * before its timed loop so k-means training is attributed to its own
+    * `ivf_train` entry instead of whichever IVF-family query runs first
+    * (VERDICT r4). */
+  def warmIvfCodebook(s: SparkSession, d: String): Unit = { ivfCodebook(s, d): Unit }
+
   private def ivfCodebook(s: SparkSession, d: String): Array[(Int, Array[Double])] =
     synchronized {
       ivfCodebooks.get(d) match {

@@ -21,13 +21,17 @@ import org.apache.spark.sql.functions._
  *    (ReuseExchange) — no per-node neighbor arrays are ever
  *    materialized, which is what keeps a 10^8-degree boilerplate hub
  *    from OOMing a task (AQE skew-split handles the join residual).
- *  - Per-iteration lineage is truncated with a LAZY localCheckpoint that
- *    the convergence-signature action materializes (one job per round,
- *    not two) — without truncation the plan doubles every round and
- *    Catalyst analysis dominates past ~10 iterations. localCheckpoint
- *    keeps blocks on executors (lost on executor failure); a production
- *    cluster run would swap in reliable `checkpoint` against the job's
- *    run-scoped checkpoint dir (pipeline.Runner already provisions one).
+ *  - Per-iteration lineage is truncated with a LAZY checkpoint that
+ *    the convergence-signature action materializes — without truncation
+ *    the plan doubles every round and Catalyst analysis dominates past
+ *    ~10 iterations. When the session has a reliable checkpoint dir
+ *    (pipeline.Runner provisions a run-scoped one), the cut is a
+ *    reliable `checkpoint`, so a lost executor mid-iteration replays
+ *    rounds from storage instead of restarting the loop — the same
+ *    switch ModelBuild.denseIds takes. The single-JVM fallback stays
+ *    localCheckpoint at one job per round; reliable adds the checkpoint
+ *    write job Spark schedules after the materializing action, the
+ *    inherent durability cost.
  *  - The driver-side loop action per round is a single 2-column
  *    aggregate row (edge count + order-independent xxhash64 sum), not a
  *    collect of data: convergence = the signature of the edge set
@@ -78,6 +82,10 @@ object ConnectedComponents {
    * column type is anything with a total order (string doc ids here).
    * Nodes with no edges are absent — callers left-join and coalesce to
    * self for singleton semantics.
+   *
+   * @throws IllegalStateException if the star alternation has not reached
+   *         its fixpoint within `maxIter` rounds (never emits a partial,
+   *         possibly node-duplicating mapping)
    */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
@@ -92,21 +100,29 @@ object ConnectedComponents {
     // the checkpointed RDD behind a localCheckpoint'd frame, so the
     // PREVIOUS round's blocks can be freed as soon as the next round is
     // materialized — GC + ContextCleaner would get there eventually, but
-    // an 11-round run should hold 2 edge-set copies, not 11
+    // an 11-round run should hold 2 edge-set copies, not 11. (Under the
+    // reliable path unpersist is a no-op — checkpoint files live in the
+    // run-scoped dir the Runner owns and deletes — so freeing stays
+    // correct on both paths.)
     def checkpointedRdd(df: DataFrame) =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
-    // lazy localCheckpoint: the signature action right after is the job
-    // that materializes it, so each round runs ONE job, not two
-    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(false)
+    // reliable lineage cut when the session provisions a checkpoint dir
+    // (executor-failure durability at cluster scale), localCheckpoint
+    // as the single-JVM fallback — see the scaladoc durability note
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+    // lazy cut: the signature action right after is the job that
+    // materializes it, so each round's compute runs as ONE job
+    var e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
     var sig = signature(e)
     var converged = sig._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = cut(smallStar(largeStar(e)))
       val nextSig = signature(next) // materializes next (last read of e)
       checkpointedRdd(e).foreach(_.unpersist(blocking = false))
       converged = nextSig == sig
@@ -114,12 +130,17 @@ object ConnectedComponents {
       e = next
       i += 1
     }
-    // no silent caps: an unconverged stop means the mapping below may
-    // split one component across several partial roots
+    // No silent caps: on a non-fixpoint edge set the star extraction
+    // below can emit a node under SEVERAL partial roots — duplicate
+    // (node, component) rows that silently violate the one-row-per-node
+    // contract downstream joins rely on. Fail loudly instead; maxIter is
+    // a backstop against a signature-collision livelock, not a cap.
     if (!converged)
-      log.warn(s"connectedComponents stopped at maxIter=$maxIter without " +
-        s"converging (${sig._1} edges live); raise maxIter for this graph")
-    else if (i > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          s"rounds (${sig._1} star edges live); raise maxIter for this graph " +
+          "— emitting the partial mapping would duplicate nodes across roots")
+    if (i > 0)
       log.info(s"connectedComponents converged after $i round(s), ${sig._1} star edges")
     // At the fixpoint the edge set is a disjoint union of stars rooted at
     // each component's minimum: every non-root appears exactly once as

@@ -108,22 +108,37 @@ object Similarity {
    * `nCells` corpus vectors with the smallest xxhash64(id)) and a fixed
    * iteration count, ties broken by id — identical codebooks on every
    * run/executor layout, no model state. Per-iteration work is one
-   * broadcast-join + groupBy over the corpus (the inherent IVF
-   * assignment cost).
+   * broadcast-join + groupBy over the training sample.
+   *
+   * Training runs on a BOUNDED sample (standard IVF practice — a
+   * codebook of nCells centroids gains nothing from more than a few
+   * thousand points per cell): the `sampleCap` vectors with the smallest
+   * xxhash64(id) — the same deterministic seeding idiom, so the sample
+   * (hence the codebook) is identical on every run and partitioning. The
+   * default cap bounds both the per-iteration scan and the one-cell
+   * mapGroups buffer (≤ sampleCap rows total) regardless of corpus size,
+   * which is what lets the training step survive a 100 TB corpus;
+   * fixture-scale corpora sit under the cap and train on everything.
    */
   def ivfCentroids(corpus: DataFrame, nCells: Int, dims: Int,
-                   iters: Int = 3): Array[(Int, Array[Double])] = {
+                   iters: Int = 3, sampleCap: Int = 65536): Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var centroids: Array[(Int, Array[Double])] = corpus
-      .select(col("id"), col("vec"))
+    require(sampleCap >= nCells, s"sampleCap=$sampleCap < nCells=$nCells")
+    // TakeOrdered top-k, not a global sort: per-partition k then one
+    // merge — ~sampleCap × dims doubles, a bounded dim like the codebook
+    val train = corpus.select(col("id"), col("vec"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleCap)
+      .cache() // scanned iters+1 times below
+    var centroids: Array[(Int, Array[Double])] = train
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(nCells)
       .as[(Long, Array[Double])].collect()
       .zipWithIndex.map { case ((_, v), i) => (i, v) }
     var it = 0
     while (it < iters) {
-      val assigned = assignCells(corpus, centroids)
+      val assigned = assignCells(train, centroids)
       // new centroid = mean of members; empty cells keep their vector
       val means = assigned
         .select(col("cell"), col("id"), col("vec"))
@@ -132,9 +147,8 @@ object Similarity {
         .mapGroups { (cell, rows) =>
           // double addition is order-sensitive; sum in id order so the
           // codebook is bit-identical on every run/partitioning. Buffers
-          // one cell (≈ |corpus|/nCells rows) — fine for codebook-sized
-          // training samples; a 100 TB deployment trains the codebook on
-          // a bounded sample anyway (standard IVF practice).
+          // one cell — bounded at ≤ sampleCap rows by the training-sample
+          // cap above, corpus size notwithstanding.
           val members = rows.toArray.sortBy(_._2)
           val sum = new Array[Double](dims)
           members.foreach { case (_, _, v) =>
@@ -146,6 +160,7 @@ object Similarity {
       centroids = centroids.map { case (c, v) => (c, means.getOrElse(c, v)) }
       it += 1
     }
+    train.unpersist()
     centroids
   }
 

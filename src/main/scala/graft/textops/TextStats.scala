@@ -91,11 +91,17 @@ object TextStats {
    *  (graft.functions.FnvFingerprint). */
   def fingerprint(c: Column): Column = graft.functions.GraftFunctions.fnvFingerprint(c)
 
-  /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1,
-    * the published pretraining-data repetition filters), n-gram family —
-    * the line-level variants degenerate on single-line web text, and
-    * what they detect (boilerplate loops, generated spam) shows up in
-    * token n-gram statistics at least as strongly:
+  /** Gopher-style repetition quality metrics — COUNT-BASED VARIANTS of
+    * the n-gram family in Rae et al. 2021 §A1.1 (the published
+    * pretraining-data repetition filters). The paper's n-gram metrics
+    * are CHARACTER-coverage fractions (characters inside duplicated /
+    * top n-grams over total characters); these compute occurrence-count
+    * fractions over token n-grams instead, so the paper's published
+    * thresholds (e.g. 0.2 for top-2-gram) do NOT transfer to these
+    * values — calibrate cutoffs on these statistics directly. The
+    * line-level variants degenerate on single-line web text, and what
+    * the family detects (boilerplate loops, generated spam) shows up in
+    * token n-gram counts at least as strongly:
     *
     *  - `dup_token_frac`: fraction of whitespace tokens occurring more
     *    than once in the doc (all members of a duplicate group count);

@@ -136,6 +136,26 @@ class TextOpsSpec extends AnyFunSuite {
     c1.zip(c2).foreach { case ((_, v1), (_, v2)) => assert(v1.sameElements(v2)) }
   }
 
+  test("IVF codebook: sampleCap bounds training and stays deterministic") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      val base = i % 10
+      (i.toLong, (0 until 16).map(d => math.sin(base * 31 + d * 7)).toArray)
+    }.toDF("id", "vec")
+    // cap ≥ corpus: trains on everything — bit-identical to the default
+    val full = Similarity.ivfCentroids(vecs, nCells = 4, dims = 16)
+    val atCap = Similarity.ivfCentroids(vecs, nCells = 4, dims = 16, sampleCap = 20)
+    full.zip(atCap).foreach { case ((i1, v1), (i2, v2)) =>
+      assert(i1 === i2); assert(v1.sameElements(v2))
+    }
+    // cap < corpus: still a full valid codebook, identical across runs
+    // (the sample is the xxhash64(id)-smallest prefix, not a random draw)
+    val s1 = Similarity.ivfCentroids(vecs, nCells = 4, dims = 16, sampleCap = 8)
+    val s2 = Similarity.ivfCentroids(vecs, nCells = 4, dims = 16, sampleCap = 8)
+    assert(s1.length === 4)
+    s1.zip(s2).foreach { case ((_, v1), (_, v2)) => assert(v1.sameElements(v2)) }
+  }
+
   test("text stats: counts, ratios, quality and lang-id on known strings") {
     import spark.implicits._
     val d = Seq(
@@ -219,6 +239,29 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(canon === Map("doc_a" -> "doc_a", "doc_b" -> "doc_a",
       "doc_c" -> "doc_a", "doc_z" -> "doc_z"))
+  }
+
+  test("connected components: reliable checkpoint engages under a provisioned dir") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val prev = sc.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val m = graft.textops.ConnectedComponents
+        .connectedComponents(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L).toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // counters/mapping unchanged vs the localCheckpoint path
+      assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      // and the lineage cut actually wrote reliable checkpoint data
+      // (rdd-N/part-* files under the provisioned dir), so a lost
+      // executor mid-loop replays from storage instead of recomputing
+      def files(f: java.io.File): Iterator[java.io.File] =
+        Option(f.listFiles).iterator.flatMap(_.iterator)
+          .flatMap(c => Iterator(c) ++ files(c))
+      assert(files(new java.io.File(dir))
+        .exists(f => f.isFile && f.getName.startsWith("part-")))
+    } finally prev.foreach(sc.setCheckpointDir)
   }
 
   test("repetition stats: hand-computed Gopher-style n-gram fractions") {
