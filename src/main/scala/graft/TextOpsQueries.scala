@@ -227,17 +227,34 @@ object TextOpsQueries {
           round(Similarity.cosine(col("vec_a"), col("vec_b")), 6).as("cosine"))
     }),
 
-    // -- multimodal plumbing ---------------------------------------------------
+    // -- multimodal (real pure-JVM decode: BMP / WAV PCM / y4m) -------------
+    // raw-emission sidecar: payload bytes as uppercase hex (Spark hex()
+    // == DuckDB hex()), the oracle input from which sha, byte length and
+    // every header field below are re-derived by offset arithmetic
+    "t_media_raw" -> ((s, d) =>
+      Multimodal.syntheticMedia(s, embs(s, d).select("vec_id"), "vec_id")
+        .toDF().select(col("media_id"), col("media_type"),
+          hex(col("payload")).as("hx"))),
+
     "t_media_features" -> ((s, d) => {
-      import s.implicits._
       val media = Multimodal.syntheticMedia(s, embs(s, d).select("vec_id"), "vec_id")
       Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("media_type"), col("n_bytes"), col("sha"))
+        // absent meta coalesces to 0 (real values are always positive):
+        // keeps every column non-null so both sides land int64/float64
+        .select(col("media_id"), col("media_type"),
+          col("n_bytes").cast("long").as("n_bytes"), col("sha"),
+          coalesce(col("width"), lit(0)).cast("long").as("width"),
+          coalesce(col("height"), lit(0)).cast("long").as("height"),
+          coalesce(col("sample_rate"), lit(0)).cast("long").as("sample_rate"),
+          coalesce(col("n_frames"), lit(0L)).cast("long").as("n_frames"),
+          round(coalesce(col("duration_ms"), lit(0.0)), 6).as("duration_ms"))
     }),
 
     "t_media_frames" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, embs(s, d).select("vec_id"), "vec_id")
-      Multimodal.sampleFrames(media).select("media_id", "frame_idx")
+      Multimodal.sampleFrames(media)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_sha"))
     }))
 
   // English stopword list duplicated into SQL (TextUtil.StopWords)
@@ -247,6 +264,18 @@ object TextOpsQueries {
   /** Parquet-dir reference inside oracle SQL (see PipelineQueries.p). */
   private def p(name: String) =
     s"'${PipelineQueries.OutPlaceholder}/$name.parquet/*.parquet'"
+
+  /** `('0x…')::BIGINT` read of a little-endian u32/u16 at 0-based byte
+    * offset `off` inside the uppercase-hex column `hx` — the DuckDB side
+    * of the multimodal fixed-offset header contract. */
+  private def leU32(off: Int): String = {
+    def b(k: Int) = s"substr(hx, ${2 * k + 1}, 2)"
+    s"('0x' || ${b(off + 3)} || ${b(off + 2)} || ${b(off + 1)} || ${b(off)})::BIGINT"
+  }
+  private def leU16(off: Int): String = {
+    def b(k: Int) = s"substr(hx, ${2 * k + 1}, 2)"
+    s"('0x' || ${b(off + 1)} || ${b(off)})::BIGINT"
+  }
 
   /** Exact double cosine between vec lists aliased `a` and `b` —
     * identical fold to Similarity.cosine after the float→double cast
@@ -434,6 +463,66 @@ object TextOpsQueries {
       LEFT JOIN ${p("t_ivf_probes")} pr
         ON pr.id = e.vec_id AND pr.probe_rank = g.probe_rank
       WHERE e.vec_id < 16""",
+    // ---- multimodal decode, re-derived from the raw hex sidecar:
+    // sha = md5 of the hex text, n_bytes = hex length / 2, BMP/WAV header
+    // fields by little-endian substr arithmetic at their fixed offsets,
+    // y4m header decoded as text up to the first newline (0x0A lands
+    // hex-aligned: every header byte is ASCII < 0x80, so no odd-aligned
+    // '0A' digram can precede it).
+    "t_media_raw" -> s"""
+      SELECT e.vec_id AS media_id,
+             CASE e.vec_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             r.hx
+      FROM embeddings e LEFT JOIN ${p("t_media_raw")} r ON r.media_id = e.vec_id""",
+    "t_media_features" -> s"""
+      WITH base AS (
+        SELECT media_id, media_type, hx, length(hx) // 2 AS n_bytes, md5(hx) AS sha
+        FROM ${p("t_media_raw")}),
+      img AS (
+        SELECT media_id, ${leU32(18)} AS width, ${leU32(22)} AS height
+        FROM base WHERE media_type = 'image'),
+      aud AS (
+        SELECT media_id, ${leU32(24)} AS sample_rate,
+               ${leU32(40)} // ${leU16(32)} AS n_frames
+        FROM base WHERE media_type = 'audio'),
+      vid AS (
+        SELECT media_id,
+               regexp_extract(hdr, 'W(\\d+)', 1)::BIGINT AS width,
+               regexp_extract(hdr, 'H(\\d+)', 1)::BIGINT AS height,
+               (n_bytes - hdr_len) // (6 + regexp_extract(hdr, 'W(\\d+)', 1)::BIGINT
+                 * regexp_extract(hdr, 'H(\\d+)', 1)::BIGINT * 3) AS n_frames
+        FROM (SELECT media_id, n_bytes, (strpos(hx, '0A') + 1) // 2 AS hdr_len,
+                     decode(unhex(substr(hx, 1, strpos(hx, '0A') - 1))) AS hdr
+              FROM base WHERE media_type = 'video'))
+      SELECT b.media_id, b.media_type, b.n_bytes, b.sha,
+             coalesce(i.width, v.width, 0) AS width,
+             coalesce(i.height, v.height, 0) AS height,
+             coalesce(a.sample_rate, 0) AS sample_rate,
+             coalesce(a.n_frames, v.n_frames, 0) AS n_frames,
+             round(coalesce(a.n_frames * 1000.0 / a.sample_rate,
+                            v.n_frames * 1000.0 / 25.0, 0.0), 6) AS duration_ms
+      FROM base b LEFT JOIN img i USING (media_id)
+      LEFT JOIN aud a USING (media_id) LEFT JOIN vid v USING (media_id)""",
+    "t_media_frames" -> s"""
+      WITH v AS (
+        SELECT media_id, hx, length(hx) // 2 AS n_bytes,
+               (strpos(hx, '0A') + 1) // 2 AS hdr_len,
+               decode(unhex(substr(hx, 1, strpos(hx, '0A') - 1))) AS hdr
+        FROM ${p("t_media_raw")} WHERE media_type = 'video'),
+      g AS (
+        SELECT media_id, hx, hdr_len,
+               regexp_extract(hdr, 'W(\\d+)', 1)::BIGINT
+                 * regexp_extract(hdr, 'H(\\d+)', 1)::BIGINT * 3 AS fsize,
+               (n_bytes - hdr_len) // (6 + regexp_extract(hdr, 'W(\\d+)', 1)::BIGINT
+                 * regexp_extract(hdr, 'H(\\d+)', 1)::BIGINT * 3) AS nframes
+        FROM v),
+      f AS (SELECT media_id, hx, hdr_len, fsize,
+                   unnest(range(0, nframes)) AS frame_idx FROM g)
+      SELECT media_id, frame_idx,
+             md5(substr(hx, 2 * (hdr_len + frame_idx * (6 + fsize) + 6) + 1,
+                        2 * fsize)) AS frame_sha
+      FROM f WHERE frame_idx % 4 = 0""",
     // FNV-1a 64-bit re-run char-by-char in DuckDB: wraparound multiply
     // emulated in HUGEINT mod 2^64, two's-complement fold back to BIGINT.
     // Valid while `documents.text` is BMP-only (unicode(c) == the UTF-16

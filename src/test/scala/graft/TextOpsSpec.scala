@@ -177,20 +177,54 @@ class TextOpsSpec extends AnyFunSuite {
     assert(f1 !== rows(2L).getAs[Long]("fingerprint"))
   }
 
-  test("multimodal plumbing: features deterministic, frames only from video") {
+  test("multimodal decode: header meta re-read from real BMP/WAV/y4m bytes") {
     import spark.implicits._
     val ids = (0L until 12L).toDF("vec_id")
     val media = Multimodal.syntheticMedia(spark, ids, "vec_id")
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length === 12)
+    // features are a normalized content histogram: 16 bins summing to 1
     assert(feats.forall(_.features.length === 16))
+    assert(feats.forall(f => math.abs(f.features.sum - 1.0f) < 1e-3))
+    val byId = feats.map(f => f.media_id -> f).toMap
+    // image ids (≡0 mod 3): BMP width/height parsed back out of the
+    // header bytes must equal the generation parameters
+    Seq(0L, 3L, 6L, 9L).foreach { id =>
+      val f = byId(id)
+      assert(f.media_type === "image")
+      assert(f.width === Some(4 + (id % 13).toInt))
+      assert(f.height === Some(4 + (id % 11).toInt))
+      assert(f.sample_rate.isEmpty && f.n_frames.isEmpty)
+    }
+    // audio ids (≡1): WAV sample rate and PCM frame count from RIFF header
+    Seq(1L, 4L, 7L, 10L).foreach { id =>
+      val f = byId(id)
+      assert(f.media_type === "audio")
+      assert(f.sample_rate === Some(Seq(8000, 16000, 22050, 44100)((id % 4).toInt)))
+      val n = (64 + (id % 160).toInt * 2).toLong
+      assert(f.n_frames === Some(n))
+      assert(f.duration_ms === Some(n * 1000.0 / f.sample_rate.get))
+    }
+    // video ids (≡2): y4m frame count and dimensions from the text header
+    Seq(2L, 5L, 8L, 11L).foreach { id =>
+      val f = byId(id)
+      assert(f.media_type === "video")
+      assert(f.width === Some(4 + (id % 6).toInt * 2))
+      assert(f.height === Some(4 + (id % 4).toInt * 2))
+      assert(f.n_frames === Some((3 + (id % 6).toInt).toLong))
+    }
+    // decode is deterministic
     val again = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f.sha).toMap
     assert(feats.forall(f => again(f.media_id) == f.sha))
-    val frames = Multimodal.sampleFrames(media).select("media_id").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val videoIds = media.filter(_.media_type == "video").collect().map(_.media_id).toSet
-    assert(frames.subsetOf(videoIds) && frames.nonEmpty)
+    // frame sampling: every 4th FRAME of each video stream, nothing else
+    val frames = Multimodal.sampleFrames(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+    assert(frames.keySet === Set(2L, 5L, 8L, 11L))
+    frames.foreach { case (id, rows) =>
+      val nf = 3 + (id % 6).toInt
+      assert(rows.map(_._2).sorted.toSeq === (0 until nf by 4))
+    }
   }
 
   // ---- connected components (large-star/small-star) ----
