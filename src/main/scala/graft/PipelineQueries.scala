@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.disambig.Disambiguator
 import graft.filter.AnnotationFilters
 import graft.pipeline.Annotate
-import graft.sources.{NTriples, SyntheticCorpus}
+import graft.sources.{FeedbackStore, NTriples, SyntheticCorpus}
 import graft.triples.Triples
 
 /**
@@ -98,6 +98,19 @@ object PipelineQueries {
       s.createDataset(SyntheticCorpus.redirectsNt ++
         SyntheticCorpus.disambiguationsNt ++ SyntheticCorpus.instanceTypesNt).toDF("line")
     }),
+    // the reference's feedback store: the raw TSV feed (sidecar), the
+    // parsed append-only table with the REST doc_url hashCode fallback,
+    // and the correct-rows union back into the S7 occurrence shape
+    "p_feedback_raw" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(FeedbackStore.syntheticFeedbackLines).toDF("line")
+    }),
+    "p_feedback" -> ((s, _) =>
+      FeedbackStore.fromStrings(s, FeedbackStore.syntheticFeedbackLines)),
+    "p_feedback_occs" -> ((s, _) =>
+      FeedbackStore.toOccurrences(
+        FeedbackStore.fromStrings(s, FeedbackStore.syntheticFeedbackLines))
+        .drop("types")),
     "p_tficf_top1" -> ((s, _) => {
       // D4: alternative TF*ICF scoring ranked per spot
       val mm = m(s)
@@ -981,6 +994,39 @@ object PipelineQueries {
       FROM ${p("p_ntriples_raw")}
       WHERE NOT starts_with(line, '#') AND len(trim(line)) > 0
         AND regexp_extract(line, '^\\s*<([^>]+)>\\s+<([^>]+)>\\s+<([^>]+)>\\s*\\.\\s*$$', 1) <> ''""",
+    // Feedback store: the TSV parse re-run on the raw lines, including
+    // the REST doc_url fallback — Java String.hashCode re-derived as a
+    // 31-polynomial fold in int32 wraparound arithmetic (HUGEINT mod
+    // 2^32, two's-complement fold back; exact while the fixture text is
+    // BMP-only, same caveat as t_fingerprint).
+    "p_feedback" -> s"""
+      WITH parsed AS (
+        SELECT c[1] AS doc_url0, c[2] AS feedback, c[3] AS uri,
+               c[4] AS surface_form, c[5] AS text,
+               CAST(c[6] AS INT) AS "offset", c[7] AS systems
+        FROM (SELECT string_split(line, chr(9)) AS c FROM ${p("p_feedback_raw")})
+        WHERE len(c) = 7),
+      h AS (
+        SELECT *,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(list_filter(string_split(text, ''), ch -> ch <> ''),
+                             ch -> unicode(ch)::HUGEINT)),
+            (a, ch) -> (a * 31 + ch) % 4294967296::HUGEINT) AS m
+        FROM parsed)
+      SELECT CASE WHEN doc_url0 = ''
+               THEN 'http://spotlight.dbpedia.org/id/' ||
+                    CAST(CAST(CASE WHEN m >= 2147483648::HUGEINT
+                              THEN m - 4294967296::HUGEINT ELSE m END AS BIGINT) AS VARCHAR)
+               ELSE doc_url0 END AS doc_url,
+             feedback, uri, surface_form, text, "offset", systems
+      FROM h""",
+    // and the union-back shape: correct rows as S7 occurrences
+    "p_feedback_occs" -> s"""
+      SELECT doc_url || '-f' || CAST("offset" AS VARCHAR) AS id, uri,
+             surface_form AS sf, text AS context, "offset"
+      FROM ${p("p_feedback")}
+      WHERE feedback = 'correct'""",
     // F1 training: Spark's percentile_approx at accuracy 10000 stores
     // every one of the ~900 correct-annotation scores, so its selection
     // rule is exact order statistics at 1-based rank max(1, ceil(p*N)) —
