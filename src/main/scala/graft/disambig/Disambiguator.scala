@@ -37,7 +37,13 @@ object Disambiguator {
       // C4: retry unmatched surface forms through morphological variants
       // (off by default — the DB path relies on T4 normalization instead,
       // DBCandidateSearcher.scala:25-44)
-      morphologicalRetry: Boolean = false)
+      morphologicalRetry: Boolean = false,
+      // D1 window PLACEMENT: false = fixed 250-token cuts (default —
+      // DuckDB-recomputable, see Annotate.MaxContextTokens), true = the
+      // reference's sentence-accumulation rule
+      // (TextUtil.sentenceWindowStarts). Only affects paragraphs past
+      // the oversize gate; the two modes are byte-identical below it.
+      sentenceAlignedWindows: Boolean = false)
 
   val sfNormalizeUdf = udf((sf: String) => TextUtil.sfNormalize(sf))
 
@@ -62,15 +68,29 @@ object Disambiguator {
   def docTokenHistogram(paragraphs: Dataset[ParagraphRow],
                         tokens: Dataset[TokenTypeRow],
                         stem: TextUtil.Stemmer = TextUtil.IdentityStemmer,
-                        maxContextTokens: Int = 250): DataFrame = {
+                        maxContextTokens: Int = 250,
+                        sentenceAligned: Boolean = false): DataFrame = {
     val spark = paragraphs.sparkSession
     import spark.implicits._
     paragraphs
       .flatMap { p =>
         val toks = TextUtil.tokenize(p.para_text)
+        // token-aligned `win` = raw token index / cap — identical to
+        // windowOf over TextUtil.windowStarts, kept inline so the DuckDB
+        // oracle's `pos // 250` recompute stays exact; sentence-aligned
+        // shares the starts array with Spotter.spots via
+        // contextWindowStarts so the context join can never disagree
+        val starts =
+          if (sentenceAligned)
+            TextUtil.contextWindowStarts(p.para_text, maxContextTokens, sentenceAligned = true)
+          else TextUtil.SingleWindow
         toks.iterator.zipWithIndex.collect {
           case (t, i) if !t.is_stop && TextUtil.isWordToken(t.token) =>
-            (p.url, p.para_idx, i / maxContextTokens,
+            val win =
+              if (sentenceAligned)
+                (if (starts.length == 1) 0 else TextUtil.windowOf(starts, t.offset))
+              else i / maxContextTokens
+            (p.url, p.para_idx, win,
               stem(t.token.toLowerCase(java.util.Locale.ENGLISH)))
         }
       }

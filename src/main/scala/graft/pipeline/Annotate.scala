@@ -119,16 +119,20 @@ object Annotate {
    * (url, para_idx, offset) key (round-2 advice: the previous
    * re-paragraphing approach leaked synthetic keys to eval joins).
    *
-   * Window PLACEMENT is a deliberate token-aligned approximation: the
+   * Window PLACEMENT defaults to a token-aligned approximation: the
    * reference accumulates whole SENTENCES until ≥250 tokens (its windows
    * are sentence-aligned and may overshoot the cap; its oversize gate
-   * even counts sentences), while graft cuts fixed 250-token windows,
-   * possibly mid-sentence. The two assignments differ only for
+   * even counts sentences), while graft's default cuts fixed 250-token
+   * windows, possibly mid-sentence. The two assignments differ only for
    * paragraphs whose token stream exceeds the cap — oversized crawl
    * text; every bundled corpus paragraph fits one window, where behavior
    * is byte-identical. Token alignment keeps `win` recomputable by the
    * DuckDB oracle (`pos // 250` over the emitted token stream) and needs
-   * no sentence segmentation in the hot map pass.
+   * no sentence segmentation in the hot map pass. Callers wanting
+   * reference-exact placement on over-cap paragraphs set
+   * `Disambiguator.Config(sentenceAlignedWindows = true)`, which routes
+   * both the spot tagging and the histogram keying through
+   * [[graft.util.TextUtil.sentenceWindowStarts]].
    */
   val MaxContextTokens = 250
 
@@ -138,7 +142,7 @@ object Annotate {
              cfg: Disambiguator.Config = Disambiguator.Config(),
              maxContextTokens: Int = MaxContextTokens): DataFrame = {
     val bc = spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms))
-    val raw = Spotter.spots(m.paragraphs, bc, maxContextTokens)
+    val raw = Spotter.spots(m.paragraphs, bc, maxContextTokens, cfg.sentenceAlignedWindows)
     scoredFromGated(spark, m, Spotter.gatedSpots(raw, m.surfaceForms), cfg, maxContextTokens)
   }
 
@@ -157,10 +161,12 @@ object Annotate {
     // prebuilt broadcast so the driver-side automaton build runs once
     val bc = automaton.getOrElse(
       spark.sparkContext.broadcast(Spotter.buildAutomaton(m.surfaceForms)))
-    val gated = Spotter.gatedSpots(Spotter.spots(paragraphs, bc, maxContextTokens), m.surfaceForms)
+    val gated = Spotter.gatedSpots(
+      Spotter.spots(paragraphs, bc, maxContextTokens, cfg.sentenceAlignedWindows),
+      m.surfaceForms)
     val spotCands = Disambiguator.spotCandidates(gated, m.surfaceForms, m.candidates, cfg)
     val docTokens = Disambiguator.docTokenHistogram(paragraphs, m.tokenTypes,
-      m.stemmer, maxContextTokens)
+      m.stemmer, maxContextTokens, cfg.sentenceAlignedWindows)
     Disambiguator.scored(spotCands, docTokens, m.entityContexts, m.resources, m.totals, cfg)
   }
 
@@ -168,13 +174,14 @@ object Annotate {
    *  avoids rebuilding/broadcasting the automaton and re-running the
    *  spot stage when the caller holds it. The gated spots must carry the
    *  `win` column produced by [[Spotter.spots]] with the SAME
-   *  maxContextTokens (both default to [[MaxContextTokens]]). */
+   *  maxContextTokens AND the same `cfg.sentenceAlignedWindows` placement
+   *  (both default to [[MaxContextTokens]] / token-aligned). */
   def scoredFromGated(spark: SparkSession, m: Model, gated: DataFrame,
                       cfg: Disambiguator.Config = Disambiguator.Config(),
                       maxContextTokens: Int = MaxContextTokens): DataFrame = {
     val spotCands = Disambiguator.spotCandidates(gated, m.surfaceForms, m.candidates, cfg)
     val docTokens = Disambiguator.docTokenHistogram(m.paragraphs, m.tokenTypes,
-      m.stemmer, maxContextTokens)
+      m.stemmer, maxContextTokens, cfg.sentenceAlignedWindows)
     Disambiguator.scored(spotCands, docTokens, m.entityContexts, m.resources, m.totals, cfg)
   }
 

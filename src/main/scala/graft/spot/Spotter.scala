@@ -49,9 +49,14 @@ object Spotter {
    *  context is windowed downstream (reference
    *  DBTwoStepDisambiguator.scala:71,91-118). The tokenize pass for the
    *  window starts runs only for paragraphs that can exceed the cap
-   *  (length > maxContextTokens chars — a token is ≥1 char). */
+   *  (length > maxContextTokens chars — a token is ≥1 char).
+   *  `sentenceAligned` switches window PLACEMENT to the reference's
+   *  sentence-accumulation rule ([[graft.util.TextUtil.sentenceWindowStarts]]);
+   *  default stays token-aligned (DuckDB-recomputable — see
+   *  [[graft.pipeline.Annotate.MaxContextTokens]]). */
   def spots(paragraphs: Dataset[ParagraphRow], bc: Broadcast[AhoCorasick],
-            maxContextTokens: Int = 250): Dataset[SpotRow] = {
+            maxContextTokens: Int = 250,
+            sentenceAligned: Boolean = false): Dataset[SpotRow] = {
     val spark = paragraphs.sparkSession
     import spark.implicits._
     paragraphs.mapPartitions { it =>
@@ -60,10 +65,8 @@ object Spotter {
         val ms = ac.findNonOverlapping(p.para_text)
         if (ms.isEmpty) Iterator.empty
         else {
-          val starts =
-            if (p.para_text.length <= maxContextTokens) graft.util.TextUtil.SingleWindow
-            else graft.util.TextUtil.windowStarts(
-              graft.util.TextUtil.tokenize(p.para_text), maxContextTokens)
+          val starts = graft.util.TextUtil.contextWindowStarts(
+            p.para_text, maxContextTokens, sentenceAligned)
           ms.iterator.map { m =>
             SpotRow(p.url, p.para_idx, m.start,
               p.para_text.substring(m.start, m.end), 0.0,
@@ -135,7 +138,8 @@ object Spotter {
    *  leftmost-longest fast path in [[spots]] is the single-spotter
    *  shortcut). Same window tagging as [[spots]]. */
   def allSpots(paragraphs: Dataset[ParagraphRow], bc: Broadcast[AhoCorasick],
-               maxContextTokens: Int = 250): Dataset[SpotRow] = {
+               maxContextTokens: Int = 250,
+               sentenceAligned: Boolean = false): Dataset[SpotRow] = {
     val spark = paragraphs.sparkSession
     import spark.implicits._
     paragraphs.mapPartitions { it =>
@@ -144,10 +148,8 @@ object Spotter {
         val ms = ac.findAllAligned(p.para_text)
         if (ms.isEmpty) Iterator.empty
         else {
-          val starts =
-            if (p.para_text.length <= maxContextTokens) graft.util.TextUtil.SingleWindow
-            else graft.util.TextUtil.windowStarts(
-              graft.util.TextUtil.tokenize(p.para_text), maxContextTokens)
+          val starts = graft.util.TextUtil.contextWindowStarts(
+            p.para_text, maxContextTokens, sentenceAligned)
           ms.iterator.map { m =>
             SpotRow(p.url, p.para_idx, m.start,
               p.para_text.substring(m.start, m.end), 0.0,

@@ -147,6 +147,63 @@ object TextUtil {
       s
     }
 
+  /** Sentence-aligned context-window starts — the reference's ACTUAL
+   *  window placement (DBTwoStepDisambiguator.bestK, core/.../db/
+   *  DBTwoStepDisambiguator.scala:89-118), behind the
+   *  `sentenceAlignedWindows` config flag. Semantics replicated exactly:
+   *
+   *   - the oversize gate counts SENTENCES, not tokens
+   *     (`sentences.size <= MAX_CONTEXT` → one window — a reference
+   *     quirk kept as-is for parity);
+   *   - past the gate, whole sentences accumulate into the current
+   *     window until it holds ≥ maxTokens tokens, THEN the window
+   *     closes — windows are sentence-aligned and may overshoot the
+   *     cap; the final partial window flushes without adding a cut.
+   *
+   *  Sentences come from `BreakIterator.getSentenceInstance`, the same
+   *  segmenter the reference's LanguageIndependentTokenizer uses to tag
+   *  `end-of-sentence` (db/tokenize/LanguageIndependentTokenizer.scala:
+   *  41-42, 83-84). Returns char-offset window starts consumable by
+   *  [[windowOf]], `starts(0) = 0`. */
+  def sentenceWindowStarts(text: String, maxTokens: Int): Array[Int] = {
+    val si = BreakIterator.getSentenceInstance(Locale.ENGLISH)
+    si.setText(text)
+    val sentEnds = new ArrayBuffer[Int]()
+    var s = si.first()
+    var e = si.next()
+    while (e != BreakIterator.DONE) { sentEnds += e; s = e; e = si.next() }
+    if (sentEnds.length <= maxTokens) return SingleWindow
+    val toks = tokenize(text)
+    val starts = new ArrayBuffer[Int](4)
+    starts += 0
+    var ti = 0
+    var winTokens = 0
+    var i = 0
+    while (i < sentEnds.length) {
+      val se = sentEnds(i)
+      while (ti < toks.length && toks(ti).offset < se) { winTokens += 1; ti += 1 }
+      if (winTokens >= maxTokens && i != sentEnds.length - 1) {
+        starts += se // next window opens at the next sentence's first char
+        winTokens = 0
+      }
+      i += 1
+    }
+    if (starts.length == 1) SingleWindow else starts.toArray
+  }
+
+  /** The window starts for a paragraph under either placement mode —
+   *  the one entry point [[graft.spot.Spotter.spots]] and
+   *  [[graft.disambig.Disambiguator.docTokenHistogram]] share so spot
+   *  tagging and histogram keying can never disagree. Token-aligned
+   *  (default) keeps the char-length fast path: a text of ≤ maxTokens
+   *  CHARS cannot hold more than maxTokens tokens, so it skips the
+   *  tokenize entirely. */
+  def contextWindowStarts(text: String, maxTokens: Int,
+                          sentenceAligned: Boolean): Array[Int] =
+    if (sentenceAligned) sentenceWindowStarts(text, maxTokens)
+    else if (text.length <= maxTokens) SingleWindow
+    else windowStarts(tokenize(text), maxTokens)
+
   /** Window index of a char offset: the last window start ≤ offset
    *  (binary search; starts is ascending with starts(0) = 0). */
   def windowOf(starts: Array[Int], offset: Int): Int = {

@@ -6,9 +6,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.disambig.Disambiguator
 import graft.modelbuild.ModelBuild
 import graft.pipeline.Annotate
 import graft.sources.FeedbackStore
+import graft.util.TextUtil
 
 /** Round-5: the reference's feedback store (VERDICT r4 item 4) — TSV
   * parity with CSVFeedbackStore.add, the REST doc_url hashCode fallback,
@@ -87,5 +89,67 @@ class Round5FeaturesSpec extends AnyFunSuite {
       assert(cnt == before.getOrElse(sf, 0L) + fbPerSf.getOrElse(sf, 0L),
         s"sf=$sf before=${before.get(sf)} feedback=${fbPerSf.get(sf)} after=$cnt")
     }
+  }
+
+  // ---- sentence-aligned MAX_CONTEXT windows (VERDICT r4 item 8) --------
+
+  test("sentence-aligned oversize gate counts sentences, like the reference") {
+    // DBTwoStepDisambiguator.bestK:90 gates on sentences.size <= MAX_CONTEXT:
+    // a 2-sentence text stays one window no matter how many TOKENS it has
+    val manyTokensFewSentences =
+      (1 to 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ") + ". Second sentence here."
+    assert(TextUtil.tokenize(manyTokensFewSentences).length > 5)
+    assert(TextUtil.sentenceWindowStarts(manyTokensFewSentences, maxTokens = 5)
+      .sameElements(TextUtil.SingleWindow))
+  }
+
+  test("sentence-aligned windows accumulate whole sentences past the cap") {
+    // 8 sentences of 3 tokens each, maxTokens = 5 → the reference rule
+    // closes a window at the end of the sentence that reaches ≥5 tokens:
+    // sentences {1,2}, {3,4}, {5,6}, {7,8(last flush)}
+    val text = (1 to 8).map(i => s"Word$i mid$i end$i.").mkString(" ")
+    val starts = TextUtil.sentenceWindowStarts(text, maxTokens = 5)
+    assert(starts.length == 4, s"starts=${starts.mkString(",")}")
+    assert(starts(0) == 0)
+    val si = java.text.BreakIterator.getSentenceInstance(java.util.Locale.ENGLISH)
+    si.setText(text)
+    val ends = Iterator.iterate(si.next())(_ => si.next()).takeWhile(_ != java.text.BreakIterator.DONE).toVector
+    val toks = TextUtil.tokenize(text)
+    // every cut lands exactly on a sentence boundary
+    starts.drop(1).foreach(s => assert(ends.contains(s), s"cut $s not at a sentence end"))
+    // no window (except the last) holds fewer than maxTokens tokens
+    val bounds = starts.toVector :+ text.length
+    val winSizes = bounds.sliding(2).map(w =>
+      toks.count(t => t.offset >= w(0) && t.offset < w(1))).toVector
+    assert(winSizes.init.forall(_ >= 5), s"window sizes: $winSizes")
+    // and a mid-sentence offset maps to the window holding its WHOLE
+    // sentence — never a mid-sentence cut
+    val s3start = ends(1) // third sentence starts where the second ends
+    assert(TextUtil.windowOf(starts, s3start) == TextUtil.windowOf(starts, s3start + 5))
+  }
+
+  test("window placement flag: identical annotations under the cap, shared keying over it") {
+    import spark.implicits._
+    val m = Annotate.syntheticModel(spark, nDocs = 15, withTotalCounts = false)
+    // every bundled corpus paragraph fits one 250-token window → the two
+    // placements must be byte-identical end-to-end
+    val base = Annotate.annotationsFrom(spark,
+      Annotate.scored(spark, m)).toDF()
+    val flagged = Annotate.annotationsFrom(spark,
+      Annotate.scored(spark, m, Disambiguator.Config(sentenceAlignedWindows = true))).toDF()
+    assert(base.count() > 0)
+    assert(base.except(flagged).isEmpty && flagged.except(base).isEmpty)
+
+    // over the cap: an oversize synthetic paragraph (300+ sentences so the
+    // reference's sentence-count gate engages at maxContextTokens = 20)
+    // still annotates, and spot win tags agree with the histogram keying
+    // (the scored path joins on win — a disagreement would drop all rows)
+    val ent = graft.sources.SyntheticCorpus.entities.head
+    val sf = ent.surfaceForms.head
+    val bigText = (1 to 300).map(i => s"Sentence $i mentions $sf near ${ent.ctx(i % ent.ctx.length)}.").mkString(" ")
+    val paras = Seq(graft.model.ParagraphRow("http://big/doc", 0, bigText)).toDS()
+    val scoredBig = Annotate.scoredOn(spark, m, paras,
+      Disambiguator.Config(sentenceAlignedWindows = true), maxContextTokens = 20)
+    assert(scoredBig.filter($"uri" === ent.uri).count() > 0)
   }
 }
