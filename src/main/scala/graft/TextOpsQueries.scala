@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.textops.{ConnectedComponents, Dedup, Multimodal, Similarity, TextStats}
+import graft.textops.{ConnectedComponents, Decontaminate, Dedup, Multimodal, Similarity, TextStats}
 
 /**
  * Training-data pipeline operators over the driver's documents/embeddings
@@ -107,10 +107,19 @@ object TextOpsQueries {
       docs(s, d).select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))),
 
     // -- dedup -------------------------------------------------------------
-    // Gopher-style repetition quality metrics (n-gram family)
+    // Gopher-style repetition quality metrics (n-gram family):
+    // count-based variants + the paper's character-fraction originals
     "t_repetition_stats" -> ((s, d) => TextStats.repetitionStats(docs(s, d))),
+    "t_repetition_chars" -> ((s, d) => TextStats.repetitionCharStats(docs(s, d))),
 
     "t_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d))),
+
+    // benchmark decontamination (GPT-3 App. C 13-gram overlap): the
+    // deterministic doc_id % 10 = 7 slice of the corpus stands in for
+    // the benchmark suite (no external data), self-matches excluded
+    "t_decontaminate" -> ((s, d) =>
+      Decontaminate.flag(docs(s, d),
+        docs(s, d).filter(col("doc_id") % 10 === 7), n = 13)),
 
     "t_minhash_pairs" -> ((s, d) =>
       Dedup.minhashCandidatePairs(docs(s, d), bands = 8, rows = 4)),
@@ -326,6 +335,94 @@ object TextOpsQueries {
       FROM documents d
       LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)
       LEFT JOIN a3 USING (doc_id)""",
+    // 13-gram decontamination re-derived exactly: same token split,
+    // distinct grams per doc, benchmark slice doc_id % 10 = 7, self-
+    // matches excluded, per-doc distinct-hit rollup, zero-fill.
+    "t_decontaminate" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(t[i+1:i+13], ' ')
+                                     FOR i IN range(0, len(t) - 12)])) AS gram
+        FROM toks WHERE len(t) >= 13),
+      b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 10 = 7),
+      hits AS (
+        SELECT g.doc_id, count(DISTINCT g.gram) AS n_hit_grams,
+               count(DISTINCT b.bench_id) AS n_bench_docs
+        FROM g JOIN b ON g.gram = b.gram AND g.doc_id <> b.bench_id
+        GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+             coalesce(h.n_bench_docs, 0) AS n_bench_docs,
+             coalesce(h.n_hit_grams > 0, false) AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+    // Gopher §A1.1 character fractions re-derived exactly: same token
+    // split, one lateral n-gram expansion over all nine orders, the top
+    // n-gram tie-break (count desc, gram asc), and duplicate coverage as
+    // DISTINCT covered token positions — char space = Σ len(token) on
+    // both sides. Same \s and ASCII caveats as t_repetition_stats /
+    // t_fingerprint.
+    "t_repetition_chars" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+      tot AS (SELECT doc_id,
+                     coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                       AS total_chars
+              FROM toks),
+      ords AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS ord),
+      grams AS (
+        SELECT k.doc_id, k.ord, i.i AS pos,
+               array_to_string(k.t[i.i + 1 : i.i + k.ord], ' ') AS gram
+        FROM (SELECT doc_id, ord, t FROM toks CROSS JOIN ords) k,
+             LATERAL (SELECT unnest(range(0, greatest(len(k.t) - k.ord + 1, 0))) AS i) i),
+      cnt AS (SELECT doc_id, ord, gram, count(*) AS c
+              FROM grams GROUP BY 1, 2, 3),
+      top AS (
+        SELECT doc_id, ord, c * (length(gram) - (ord - 1)) AS num
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, ord
+                                           ORDER BY c DESC, gram) AS rn
+              FROM cnt WHERE ord <= 4)
+        WHERE rn = 1),
+      cov AS (
+        SELECT DISTINCT doc_id, ord, p FROM (
+          SELECT g.doc_id, g.ord, unnest(range(g.pos, g.pos + g.ord)) AS p
+          FROM grams g JOIN cnt USING (doc_id, ord, gram)
+          WHERE g.ord >= 5 AND cnt.c > 1)),
+      covc AS (
+        SELECT c.doc_id, c.ord, SUM(length(t[p + 1])) AS num
+        FROM cov c JOIN toks USING (doc_id) GROUP BY 1, 2),
+      nums AS (SELECT doc_id, ord, num FROM top
+               UNION ALL SELECT doc_id, ord, num FROM covc)
+      SELECT d.doc_id,
+             round(coalesce(MAX(CASE WHEN ord = 2 THEN num END), 0)::DOUBLE
+                   / greatest(tot.total_chars, 1), 6) AS top_2gram_char_frac,
+             round(coalesce(MAX(CASE WHEN ord = 3 THEN num END), 0)::DOUBLE
+                   / greatest(tot.total_chars, 1), 6) AS top_3gram_char_frac,
+             round(coalesce(MAX(CASE WHEN ord = 4 THEN num END), 0)::DOUBLE
+                   / greatest(tot.total_chars, 1), 6) AS top_4gram_char_frac,
+             round(coalesce(MAX(CASE WHEN ord = 5 THEN num END), 0)::DOUBLE
+                   / greatest(tot.total_chars, 1), 6) AS dup_5gram_char_frac,
+             round(coalesce(MAX(CASE WHEN ord = 6 THEN num END), 0)::DOUBLE
+                   / greatest(tot.total_chars, 1), 6) AS dup_6gram_char_frac,
+             round(coalesce(MAX(CASE WHEN ord = 7 THEN num END), 0)::DOUBLE
+                   / greatest(tot.total_chars, 1), 6) AS dup_7gram_char_frac,
+             round(coalesce(MAX(CASE WHEN ord = 8 THEN num END), 0)::DOUBLE
+                   / greatest(tot.total_chars, 1), 6) AS dup_8gram_char_frac,
+             round(coalesce(MAX(CASE WHEN ord = 9 THEN num END), 0)::DOUBLE
+                   / greatest(tot.total_chars, 1), 6) AS dup_9gram_char_frac,
+             round(coalesce(MAX(CASE WHEN ord = 10 THEN num END), 0)::DOUBLE
+                   / greatest(tot.total_chars, 1), 6) AS dup_10gram_char_frac
+      FROM documents d
+      JOIN tot ON d.doc_id = tot.doc_id
+      LEFT JOIN nums ON d.doc_id = nums.doc_id
+      GROUP BY d.doc_id, tot.total_chars""",
     // ---- LSH families (VERDICT r3 "oracle depth"): the xxhash64 /
     // hyperplane keys pass through via the raw-emitted sidecar tables
     // (t_minhash_bands / t_simhash_sigs / t_ann_buckets / t_emb_buckets);

@@ -1,6 +1,7 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -146,6 +147,87 @@ object TextStats {
         round(coalesce(col("dup_token_frac"), lit(0.0)), 6).as("dup_token_frac"),
         round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac"),
         round(coalesce(col("dup_trigram_frac"), lit(0.0)), 6).as("dup_trigram_frac"))
+  }
+
+  /** Gopher §A1.1 CHARACTER-fraction n-gram repetition metrics (Rae et
+    * al. 2021, Table A1) — the companion to [[repetitionStats]]'s
+    * count-based variants, computing the fractions the paper's published
+    * thresholds actually apply to (top-2/3/4-gram ≤ 0.20/0.18/0.16,
+    * dup-5..10-gram ≤ 0.15/0.14/0.13/0.12/0.11/0.10):
+    *
+    *  - `top_{2,3,4}gram_char_frac`: characters inside occurrences of
+    *    the single most frequent word n-gram / total token characters
+    *    (occurrence count × n-gram char length; ties broken count desc
+    *    then gram asc so the statistic is deterministic and
+    *    oracle-checkable — the paper leaves ties unspecified);
+    *  - `dup_{5..10}gram_char_frac`: characters inside ANY occurrence of
+    *    a word n-gram appearing more than once, each character counted
+    *    ONCE (the paper's "taking care not to count characters twice"),
+    *    realized as the set union of duplicated-gram token spans —
+    *    order-independent, unlike the greedy left-to-right scan some
+    *    public reimplementations use, and therefore re-derivable
+    *    relationally by the DuckDB oracle.
+    *
+    * Character space is token characters (whitespace excluded): the
+    * denominator is Σ len(token) and every numerator lives in the same
+    * space, so the fractions are insensitive to inter-token whitespace
+    * runs. Scale shape: ONE explode emits (ord, pos, gram) rows for all
+    * nine orders (~9× token volume — the inherent cost of the paper's
+    * filter family), one groupBy counts grams, duplicate-span coverage
+    * is explode + distinct + join on (doc, pos) — every stage map-side
+    * combinable, no UDF. BMP caveat as t_fingerprint: Spark length() is
+    * UTF-16 units, DuckDB's is codepoints; testdata is ASCII. */
+  def repetitionCharStats(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      array_remove(split(lower(trim(col(textCol))), "\\s+"), "").as("t"))
+    val totals = toks.select(col("doc_id"),
+      aggregate(col("t"), lit(0L), (a, x) => a + length(x)).as("total_chars"))
+    val grams = toks.select(col("doc_id"), explode(expr(
+      s"""flatten(transform(array(${(topNs ++ dupNs).mkString(", ")}), n ->
+           transform(if(size(t) >= n, sequence(0, size(t) - n), array()),
+             i -> struct(n AS ord, i AS pos, concat_ws(' ', slice(t, i + 1, n)) AS gram))))"""
+    )).as("g"))
+      .select(col("doc_id"), col("g.ord").as("ord"), col("g.pos").as("pos"),
+        col("g.gram").as("gram"))
+    val counts = grams.groupBy("doc_id", "ord", "gram").agg(count(lit(1)).as("c"))
+    // top n-gram chars = occurrences × gram char length; a space-joined
+    // gram of order n holds length(gram) - (n - 1) token characters
+    val top = counts.filter(col("ord") <= 4)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id", "ord").orderBy(col("c").desc, col("gram"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("ord"),
+        (col("c") * (length(col("gram")) - (col("ord") - lit(1))))
+          .cast("double").as("num"))
+    // dup n-grams: union of token-index spans of duplicated grams →
+    // distinct covered positions → sum of those tokens' char lengths
+    val tokLens = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), length(col("tok")).as("len"))
+    val covered = grams.filter(col("ord") >= 5)
+      .join(counts.filter(col("ord") >= 5 && col("c") > 1)
+        .select("doc_id", "ord", "gram"), Seq("doc_id", "ord", "gram"))
+      .select(col("doc_id"), col("ord"),
+        explode(sequence(col("pos"), col("pos") + col("ord") - 1)).as("pos"))
+      .distinct()
+      .join(tokLens, Seq("doc_id", "pos"))
+      .groupBy("doc_id", "ord").agg(sum("len").cast("double").as("num"))
+    val aggCols = (topNs ++ dupNs).map(n =>
+      max(when(col("ord") === n, col("num"))).as(s"num_$n"))
+    val nums = top.unionByName(covered).groupBy("doc_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+    def fracName(n: Int) =
+      if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac"
+    docs.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"))
+      .join(nums, Seq("doc_id"), "left")
+      .select(col("doc_id") +: (topNs ++ dupNs).map(n =>
+        round(coalesce(col(s"num_$n"), lit(0.0)) /
+          greatest(col("total_chars"), lit(1L)).cast("double"), 6)
+          .as(fracName(n))): _*)
   }
 
   /** All stats in one pass over documents(doc_id, text, ...). */

@@ -169,9 +169,9 @@ object TextUtil {
     val si = BreakIterator.getSentenceInstance(Locale.ENGLISH)
     si.setText(text)
     val sentEnds = new ArrayBuffer[Int]()
-    var s = si.first()
+    si.first()
     var e = si.next()
-    while (e != BreakIterator.DONE) { sentEnds += e; s = e; e = si.next() }
+    while (e != BreakIterator.DONE) { sentEnds += e; e = si.next() }
     if (sentEnds.length <= maxTokens) return SingleWindow
     val toks = tokenize(text)
     val starts = new ArrayBuffer[Int](4)

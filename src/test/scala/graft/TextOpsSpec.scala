@@ -315,4 +315,52 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L) === ((0.0, 0.0, 0.0)))
     assert(out(5L) === ((1.0, 1.0, 0.0)))
   }
+
+  test("repetition char stats: hand-computed Gopher character fractions") {
+    import spark.implicits._
+    val d = Seq(
+      // 13 single-char tokens; "a b c d e" dups at 0/6, "b c d e f" at
+      // 1/7 -> 5-gram coverage = positions 0..11 = 12 of 13 chars;
+      // "a b c d e f" dups at 0/6 -> 6-gram coverage also 12/13; no
+      // duplicate 7-grams. Top 2/3/4-grams each occur twice (tie ->
+      // lexicographically first): counts 2 x char-lens 2/3/4.
+      (1L, "a b c d e f a b c d e f x"),
+      // degenerate doc: overlapping top-gram occurrences push the
+      // count x length statistic past 1.0 (the standard public
+      // reimplementation behaves the same); dup coverage caps at 1.0
+      (2L, "w w w w w w w w w w w w"),
+      (3L, "solo") // too short for any order -> all 0.0
+    ).toDF("doc_id", "text")
+    val out = graft.textops.TextStats.repetitionCharStats(d)
+      .collect().map(r => r.getLong(0) -> (1 to 9).map(r.getDouble).toVector).toMap
+    assert(out(1L) === Vector(
+      2 * 2 / 13.0, 2 * 3 / 13.0, 2 * 4 / 13.0, // top 2/3/4-gram
+      12 / 13.0, 12 / 13.0, 0.0, 0.0, 0.0, 0.0  // dup 5..10-gram
+    ).map(v => math.round(v * 1e6) / 1e6))
+    assert(out(2L) === Vector(
+      11 * 2 / 12.0, 10 * 3 / 12.0, 9 * 4 / 12.0,
+      1.0, 1.0, 1.0, 1.0, 1.0, 1.0
+    ).map(v => math.round(v * 1e6) / 1e6))
+    assert(out(3L) === Vector.fill(9)(0.0))
+  }
+
+  test("decontaminate: 13-gram overlap vs benchmark slice, self-matches excluded") {
+    import spark.implicits._
+    val text13 = "a b c d e f g h i j k l m" // exactly one 13-gram
+    val d = Seq(
+      (1L, s"x $text13 y"),    // embeds the benchmark 13-gram -> hit on BOTH bench docs
+      (2L, "p q r s t u v w p2 q2 r2 s2 t2 u2"), // 14 unique tokens, no overlap
+      (3L, "short doc here"),  // < 13 tokens -> can never be flagged
+      (7L, text13),            // benchmark doc (id % 10 = 7); hits its twin 17, not itself
+      (17L, text13)            // benchmark doc, exact dup of 7
+    ).toDF("doc_id", "text")
+    val out = graft.textops.Decontaminate
+      .flag(d, d.filter($"doc_id" % 10 === 7), n = 13)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1L, 2L, true)))
+    assert(out(2L) === ((0L, 0L, false)))
+    assert(out(3L) === ((0L, 0L, false)))
+    assert(out(7L) === ((1L, 1L, true)))
+    assert(out(17L) === ((1L, 1L, true)))
+  }
 }
