@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.textops.{ConnectedComponents, Decontaminate, Dedup, Multimodal, Similarity, TextStats}
+import graft.textops.{ConnectedComponents, Decontaminate, Dedup, LmQuality, Multimodal, Similarity, TextStats, UrlNormalize}
 
 /**
  * Training-data pipeline operators over the driver's documents/embeddings
@@ -105,6 +105,15 @@ object TextOpsQueries {
 
     "t_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))),
+
+    // CCNet-style unigram-LM quality scoring (Wenzek et al. 2020 §4.3):
+    // corpus-trained Laplace LM, per-doc cross-entropy + perplexity
+    "t_lm_quality" -> ((s, d) => LmQuality.crossEntropy(docs(s, d))),
+
+    // URL canonicalization + canonical-key dedup over the deterministic
+    // messy-URL fixture (no external data; construction re-derived in SQL)
+    "t_url_canonical" -> ((s, d) =>
+      UrlNormalize.dedupByCanonical(UrlNormalize.syntheticUrls(docs(s, d)))),
 
     // -- dedup -------------------------------------------------------------
     // Gopher-style repetition quality metrics (n-gram family):
@@ -423,6 +432,78 @@ object TextOpsQueries {
       JOIN tot ON d.doc_id = tot.doc_id
       LEFT JOIN nums ON d.doc_id = nums.doc_id
       GROUP BY d.doc_id, tot.total_chars""",
+    // CCNet unigram-LM scoring re-derived exactly: same token split,
+    // per-(doc, token) counts, vocabulary rollup, Laplace probability
+    // (c+1)/(N+V), natural-log sum / n_tokens, exp for perplexity,
+    // empty-doc zero-fill (ce 0, ppl 1). HUGEINT sums cast back to
+    // BIGINT (the r3 dtype lesson). Same \s caveat as the other token
+    // oracles (no VT/FF in the driver corpus).
+    "t_lm_quality" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents),
+      dt AS (SELECT doc_id, token, count(*) AS c_dt FROM toks GROUP BY 1, 2),
+      vocab AS (SELECT token, CAST(SUM(c_dt) AS BIGINT) AS c_tok FROM dt GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c_tok) AS BIGINT) AS n_total, COUNT(*) AS v_size FROM vocab),
+      sc AS (
+        SELECT dt.doc_id,
+               SUM(dt.c_dt * ln((vocab.c_tok + 1)::DOUBLE / (tot.n_total + tot.v_size)))
+                 AS logsum,
+               CAST(SUM(dt.c_dt) AS BIGINT) AS n_tokens
+        FROM dt JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(sc.n_tokens, 0) AS n_tokens,
+             round(coalesce(-sc.logsum / sc.n_tokens, 0.0), 6) AS cross_entropy,
+             round(coalesce(exp(-sc.logsum / sc.n_tokens), 1.0), 6) AS perplexity
+      FROM documents d LEFT JOIN sc USING (doc_id)""",
+    // URL canonicalization re-derived end to end: the messy-URL fixture
+    // is rebuilt from doc_id by the same residue arithmetic, then the
+    // same regexp split, default-port drop, slash collapse (regexp_replace
+    // needs 'g' here — Spark's is global by default), trailing-slash
+    // strip, tracking-param filter, bytewise param sort and fragment
+    // drop; canonical_id = min doc_id over the canonical group.
+    "t_url_canonical" -> """
+      WITH u AS (
+        SELECT doc_id,
+          ['HTTP','https'][(doc_id % 2)::INT + 1] || '://' ||
+          ['WWW.Example.COM','news.example.com','CDN.Example.net'][(doc_id % 3)::INT + 1] ||
+          [':80',':443',':8080',''][(doc_id % 4)::INT + 1] ||
+          '/Articles//' || (doc_id % 7)::VARCHAR ||
+          CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+          '?utm_source=feed&b=' || (doc_id % 10)::VARCHAR || '&a=1' ||
+          CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END AS url
+        FROM documents),
+      parts AS (
+        SELECT doc_id, url,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?', 1)) AS scheme,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?', 2)) AS host,
+          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?', 3) AS port,
+          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?', 4) AS path,
+          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?', 5) AS query
+        FROM u),
+      norm AS (
+        SELECT doc_id, url, scheme, host,
+          CASE WHEN port = ':80' AND scheme = 'http' THEN ''
+               WHEN port = ':443' AND scheme = 'https' THEN ''
+               ELSE port END AS port_n,
+          CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path_n,
+          CASE WHEN len(ps) > 0 THEN '?' || array_to_string(list_sort(ps), '&')
+               ELSE '' END AS query_n
+        FROM (SELECT *,
+                regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '/$', '') AS p2,
+                list_filter(string_split(regexp_replace(query, '^\?', ''), '&'),
+                  p -> p <> '' AND NOT list_contains(
+                    ['utm_source','utm_medium','utm_campaign','utm_term','utm_content',
+                     'fbclid','gclid','msclkid'], string_split(p, '=')[1])) AS ps
+              FROM parts))
+      SELECT doc_id, url,
+             scheme || '://' || host || port_n || path_n || query_n AS canonical_url,
+             min(doc_id) OVER (PARTITION BY scheme || '://' || host || port_n || path_n || query_n)
+               AS canonical_id
+      FROM norm""",
     // ---- LSH families (VERDICT r3 "oracle depth"): the xxhash64 /
     // hyperplane keys pass through via the raw-emitted sidecar tables
     // (t_minhash_bands / t_simhash_sigs / t_ann_buckets / t_emb_buckets);

@@ -1,0 +1,57 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * CCNet-style language-model quality scoring (Wenzek et al. 2020,
+ * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+ * Data", §4.3): score each document by the per-token cross-entropy of
+ * a unigram LM with add-one (Laplace) smoothing trained on the corpus
+ * itself, the standard head/middle/tail quality signal for web-scale
+ * training-data curation. CCNet uses a 5-gram KenLM trained offline;
+ * with no external model files in this sandbox the unigram LM trained
+ * on the scored corpus is the self-contained equivalent — the dataflow
+ * (train token statistics, broadcast them, score every document in one
+ * pass) is the part that has to survive 100 TB, and it is identical.
+ *
+ * Scale shape: two map-side-combinable shuffles (per-(doc, token)
+ * counts, then the vocabulary rollup), a broadcast of the bounded
+ * vocabulary dim back onto the per-doc counts (web-corpus vocabularies
+ * are tens of millions of rows — Spark falls back to a hash join when
+ * the dim outgrows the broadcast threshold, with no code change), and
+ * one final combinable per-doc aggregation. No windows, no global
+ * sort, nothing driver-side. A production run materializes the
+ * vocabulary table once and reuses it across scoring passes; here the
+ * lineage recomputes it per action, which only costs at fixture scale.
+ */
+object LmQuality {
+
+  /** doc_id → per-token Laplace cross-entropy (nats) and perplexity of
+    * the corpus-trained unigram LM. Empty documents score ce = 0,
+    * perplexity = 1 (no evidence). p(t) = (count(t) + 1) / (N + |V|).
+    */
+  def crossEntropy(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c_dt"))
+    val vocab = dt.groupBy("token").agg(sum("c_dt").as("c_tok"))
+    val totals = vocab.agg(sum("c_tok").as("n_total"), count(lit(1)).as("v_size"))
+    val scored = dt
+      .join(broadcast(vocab), "token")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c_dt") *
+          log((col("c_tok") + 1).cast("double") / (col("n_total") + col("v_size"))))
+          .as("logsum"),
+        sum("c_dt").as("n_tokens"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(-col("logsum") / col("n_tokens"), lit(0.0)), 6).as("cross_entropy"),
+        round(coalesce(exp(-col("logsum") / col("n_tokens")), lit(1.0)), 6).as("perplexity"))
+  }
+}

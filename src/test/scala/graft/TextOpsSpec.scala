@@ -344,6 +344,45 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) === Vector.fill(9)(0.0))
   }
 
+  test("lm quality: hand-computed Laplace unigram cross-entropy") {
+    import spark.implicits._
+    // counts a:2 b:2 c:1 -> N=5, V=3; p(a)=p(b)=3/8, p(c)=2/8
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.textops.LmQuality.crossEntropy(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc1: ce = -ln(3/8), ppl = 8/3; doc2: ce = (-ln(3/8) - ln(1/4)) / 2
+    assert(out(1L) === ((3L, 0.980829, 2.666667)))
+    assert(out(2L) === ((2L, 1.183562, 3.265986)))
+    assert(out(3L) === ((0L, 0.0, 1.0))) // empty doc: no evidence
+  }
+
+  test("url canonicalize: case, ports, slashes, tracking params, fragments") {
+    import spark.implicits._
+    val d = Seq(0L, 2L, 7L, 420L).toDF("doc_id")
+    val out = graft.textops.UrlNormalize
+      .dedupByCanonical(graft.textops.UrlNormalize.syntheticUrls(d))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(0L)._1 ===
+      "HTTP://WWW.Example.COM:80/Articles//0/?utm_source=feed&b=0&a=1#section-2")
+    assert(out(0L)._2 === "http://www.example.com/Articles/0?a=1&b=0")
+    // 420 = lcm of every residue -> same canonical group as doc 0
+    assert(out(420L)._2 === out(0L)._2 && out(0L)._3 === 0L && out(420L)._3 === 0L)
+    // explicit non-default port kept; default :443 dropped for https
+    assert(out(2L)._2 === "http://cdn.example.net:8080/Articles/2?a=1&b=2")
+    assert(out(7L)._2 === "https://news.example.com/Articles/0?a=1&b=7")
+  }
+
+  test("url canonicalize edge shapes: root path, missing path, param-free query") {
+    import spark.implicits._
+    val d = Seq("https://Example.com:443/", "http://example.com",
+      "http://h.io/a?utm_source=x", "http://h.io/a/b/?z=1&y=2#f")
+      .toDF("url")
+    val out = d.select(graft.textops.UrlNormalize.canonicalize(col("url")))
+      .as[String].collect()
+    assert(out === Array("https://example.com/", "http://example.com/",
+      "http://h.io/a", "http://h.io/a/b?y=2&z=1"))
+  }
+
   test("decontaminate: 13-gram overlap vs benchmark slice, self-matches excluded") {
     import spark.implicits._
     val text13 = "a b c d e f g h i j k l m" // exactly one 13-gram
