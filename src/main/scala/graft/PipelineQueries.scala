@@ -381,6 +381,130 @@ object PipelineQueries {
   val OutPlaceholder = "__OUT__"
   private def p(name: String) = s"'$OutPlaceholder/$name.parquet/*.parquet'"
 
+  // ---- Porter (1980) re-derivation in SQL (p_stemmed_tokens oracle) ------
+  // Mirrors graft.util.PorterStemmer step by step over the emitted raw
+  // token stream, so the T3 dictionary is hash-verified end to end
+  // (offline DuckDB ships no fts stem(); this re-implements the
+  // algorithm in ANSI-ish SQL instead of calling one). The
+  // consonant/vowel map handles Porter's RECURSIVE y-rule exactly
+  // without lookbehind (RE2 has none): a y's class depends only on the
+  // char before its maximal y-run and the parity of its offset within
+  // the run — cons(first y) = at-word-start OR after-vowel, then
+  // alternate. The map is prefix-stable (char i's class only reads
+  // chars <= i), so measure/vowel tests over stem prefixes are
+  // substring operations on one map per stage. Validated against the
+  // Scala implementation on the full corpus vocabulary plus the
+  // classic Porter-paper battery (incl. syzygy/yyy/sayyid y-chains).
+  private def cvSql(s: String): String = {
+    val yrun = s"(i - 1 - length(rtrim($s[1 : i - 1], 'y')))"
+    val q = s"(i - $yrun - 1)"
+    val firstCons = s"(($q = 0) OR ($s[$q] IN ('a','e','i','o','u')))"
+    s"""array_to_string(list_transform(range(1, length($s) + 1), i -> CASE
+      WHEN $s[i] IN ('a','e','i','o','u') THEN 'V'
+      WHEN $s[i] = 'y' THEN (CASE WHEN (($yrun % 2) = 0) = $firstCons
+                             THEN 'C' ELSE 'V' END)
+      ELSE 'C' END), '')"""
+  }
+  /** Porter's m() over the first `plen` chars: count of VC digrams. */
+  private def mSql(cv: String, plen: String): String =
+    s"((length($cv[1:$plen]) - length(replace($cv[1:$plen], 'VC', ''))) // 2)"
+  private def hasVSql(cv: String, plen: String): String =
+    s"contains($cv[1:$plen], 'V')"
+  /** *o condition at 1-based position j: ...CVC with final not w/x/y. */
+  private def cvcSql(s: String, cv: String, j: String): String =
+    s"($j >= 3 AND $cv[$j-2:$j] = 'CVC' AND $s[$j] NOT IN ('w','x','y'))"
+  /** One "suffix -> replacement when m(stem) > thresh" CASE arm. */
+  private def ruleM(sN: String, cvN: String, nN: String,
+                    suf: String, rep: String, thresh: Int): String = {
+    val l = suf.length
+    val repl = s"left($sN, $nN-$l)" + (if (rep.nonEmpty) s" || '$rep'" else "")
+    s"WHEN $sN LIKE '%$suf' THEN (CASE WHEN ${mSql(cvN, s"$nN-$l")} > $thresh " +
+      s"THEN $repl ELSE $sN END)"
+  }
+  private val porterStep2 = Seq(
+    "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
+    "anci" -> "ance", "izer" -> "ize", "abli" -> "able", "alli" -> "al",
+    "entli" -> "ent", "eli" -> "e", "ousli" -> "ous", "ization" -> "ize",
+    "ation" -> "ate", "ator" -> "ate", "alism" -> "al", "iveness" -> "ive",
+    "fulness" -> "ful", "ousness" -> "ous", "aliti" -> "al",
+    "iviti" -> "ive", "biliti" -> "ble")
+  private val porterStep3 = Seq(
+    "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+    "ical" -> "ic", "ful" -> "", "ness" -> "")
+  private val porterStep4 = Seq(
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+  /** (tok, stemmed) over `src`'s token column — the full five-step
+    * cascade; each stage recomputes the cv map of its current string. */
+  private def porterStemSql(src: String): String = {
+    val s2Cases = porterStep2.map { case (a, b) =>
+      ruleM("s4", "cv4", "n4", a, b, 0) }.mkString("\n          ")
+    val s3Cases = porterStep3.map { case (a, b) =>
+      ruleM("s5", "cv5", "n5", a, b, 0) }.mkString("\n          ")
+    val s4Cases = porterStep4.map {
+      case "ion" =>
+        "WHEN s6 LIKE '%ion' THEN (CASE WHEN n6-3 >= 1 AND s6[n6-3] IN ('s','t') " +
+          s"AND ${mSql("cv6", "n6-3")} > 1 THEN left(s6, n6-3) ELSE s6 END)"
+      case suf =>
+        s"WHEN s6 LIKE '%$suf' THEN (CASE WHEN ${mSql("cv6", s"n6-${suf.length}")} > 1 " +
+          s"THEN left(s6, n6-${suf.length}) ELSE s6 END)"
+    }.mkString("\n          ")
+    s"""WITH t0 AS (
+      SELECT token AS tok, lower(token) AS w,
+             length(lower(token)) >= 3
+               AND regexp_full_match(lower(token), '[a-z]+') AS go
+      FROM $src),
+    a1 AS (SELECT tok, w, go,
+        CASE WHEN w LIKE '%sses' THEN left(w, length(w)-2)
+             WHEN w LIKE '%ies' THEN left(w, length(w)-2)
+             WHEN w LIKE '%ss' THEN w
+             WHEN w LIKE '%s' THEN left(w, length(w)-1)
+             ELSE w END AS s1 FROM t0),
+    a2 AS (SELECT *, ${cvSql("s1")} AS cv1, length(s1) AS n1 FROM a1),
+    b1 AS (SELECT tok, w, go,
+        CASE WHEN s1 LIKE '%eed' THEN (CASE WHEN ${mSql("cv1", "n1-3")} > 0 THEN left(s1, n1-1) ELSE s1 END)
+             WHEN s1 LIKE '%ed' AND ${hasVSql("cv1", "n1-2")} THEN left(s1, n1-2)
+             WHEN s1 LIKE '%ing' AND ${hasVSql("cv1", "n1-3")} THEN left(s1, n1-3)
+             ELSE s1 END AS s2,
+        (s1 NOT LIKE '%eed' AND ((s1 LIKE '%ed' AND ${hasVSql("cv1", "n1-2")})
+                                 OR (s1 LIKE '%ing' AND ${hasVSql("cv1", "n1-3")}))) AS fl
+        FROM a2),
+    b2 AS (SELECT *, ${cvSql("s2")} AS cv2, length(s2) AS n2 FROM b1),
+    c1 AS (SELECT tok, w, go,
+        CASE WHEN NOT fl THEN s2
+             WHEN s2 LIKE '%at' OR s2 LIKE '%bl' OR s2 LIKE '%iz' THEN s2 || 'e'
+             WHEN n2 >= 2 AND s2[n2] = s2[n2-1] AND cv2[n2:n2] = 'C'
+                  AND s2[n2] NOT IN ('l','s','z') THEN left(s2, n2-1)
+             WHEN ${mSql("cv2", "n2")} = 1 AND ${cvcSql("s2", "cv2", "n2")} THEN s2 || 'e'
+             ELSE s2 END AS s3 FROM b2),
+    c2 AS (SELECT *, ${cvSql("s3")} AS cv3, length(s3) AS n3 FROM c1),
+    d1 AS (SELECT tok, w, go,
+        CASE WHEN s3 LIKE '%y' AND ${hasVSql("cv3", "n3-1")} THEN left(s3, n3-1) || 'i'
+             ELSE s3 END AS s4 FROM c2),
+    d2 AS (SELECT *, ${cvSql("s4")} AS cv4, length(s4) AS n4 FROM d1),
+    e1 AS (SELECT tok, w, go,
+        CASE $s2Cases
+             ELSE s4 END AS s5 FROM d2),
+    e2 AS (SELECT *, ${cvSql("s5")} AS cv5, length(s5) AS n5 FROM e1),
+    f1 AS (SELECT tok, w, go,
+        CASE $s3Cases
+             ELSE s5 END AS s6 FROM e2),
+    f2 AS (SELECT *, ${cvSql("s6")} AS cv6, length(s6) AS n6 FROM f1),
+    g1 AS (SELECT tok, w, go,
+        CASE $s4Cases
+             ELSE s6 END AS s7 FROM f2),
+    g2 AS (SELECT *, ${cvSql("s7")} AS cv7, length(s7) AS n7 FROM g1),
+    h1 AS (SELECT tok, w, go,
+        CASE WHEN s7[n7] = 'e' AND (${mSql("cv7", "n7-1")} > 1
+               OR (${mSql("cv7", "n7-1")} = 1 AND NOT ${cvcSql("s7", "cv7", "n7-1")}))
+             THEN left(s7, n7-1) ELSE s7 END AS s8 FROM g2),
+    h2 AS (SELECT *, ${cvSql("s8")} AS cv8, length(s8) AS n8 FROM h1),
+    i1 AS (SELECT tok, w, go,
+        CASE WHEN s8[n8] = 'l' AND n8 >= 2 AND s8[n8-1] = 'l' AND ${mSql("cv8", "n8-1")} > 1
+             THEN left(s8, n8-1) ELSE s8 END AS s9 FROM h2)
+    SELECT tok, CASE WHEN go THEN s9 ELSE w END AS stemmed FROM i1"""
+  }
+
   // ---- serializer-oracle SQL building blocks (S16 family) ----------------
   // The XML/HTML/RDFa/NIF documents are re-assembled in DuckDB by pure
   // string concat from p_paragraphs + p_annotations + the render sidecars
@@ -668,6 +792,15 @@ object PipelineQueries {
              token, CAST(cnt AS BIGINT) AS count
       FROM (SELECT token, COUNT(*) AS cnt
             FROM ${p("p_token_stream")} GROUP BY token)""",
+    // T3: the SAME dictionary derivation under the Porter stemmer path —
+    // every token of the raw stream is stemmed by the five-step cascade
+    // re-implemented in SQL above (see porterStemSql), then group-count
+    // + dense id exactly as p_token_types.
+    "p_stemmed_tokens" -> s"""
+      SELECT CAST(row_number() OVER (ORDER BY token) AS INT) AS token_id,
+             token, CAST(cnt AS BIGINT) AS count
+      FROM (SELECT stemmed AS token, COUNT(*) AS cnt
+            FROM (${porterStemSql(p("p_token_stream"))}) GROUP BY 1)""",
     // A1: annotated_count = weighted occurrence count per sf; sf_id = dense
     // rank by sf. total_count/sf_normalized are automaton/UDF products
     // (not ANSI-expressible) and pass through from the emitted table.

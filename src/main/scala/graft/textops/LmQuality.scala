@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
  * pass) is the part that has to survive 100 TB, and it is identical.
  *
  * Scale shape: two map-side-combinable shuffles (per-(doc, token)
- * counts, then the vocabulary rollup), a broadcast of the bounded
- * vocabulary dim back onto the per-doc counts (web-corpus vocabularies
- * are tens of millions of rows — Spark falls back to a hash join when
- * the dim outgrows the broadcast threshold, with no code change), and
- * one final combinable per-doc aggregation. No windows, no global
- * sort, nothing driver-side. A production run materializes the
- * vocabulary table once and reuses it across scoring passes; here the
- * lineage recomputes it per action, which only costs at fixture scale.
+ * counts, then the vocabulary rollup), the vocabulary dim joined back
+ * onto the per-doc counts, and one final combinable per-doc
+ * aggregation. No windows, no global sort, nothing driver-side. The
+ * vocabulary join deliberately carries NO broadcast hint: at fixture
+ * scale statistics put it under the auto-broadcast threshold anyway,
+ * while a web-corpus vocabulary (tens of millions of rows, GBs) must
+ * fall back to a shuffled hash join — a forced hint would OOM the
+ * driver there. Only the 1-row totals aggregate is hint-broadcast.
+ * A production run materializes the vocabulary table once and reuses
+ * it across scoring passes; here the lineage recomputes it per action,
+ * which only costs at fixture scale.
  */
 object LmQuality {
 
@@ -39,7 +42,7 @@ object LmQuality {
     val vocab = dt.groupBy("token").agg(sum("c_dt").as("c_tok"))
     val totals = vocab.agg(sum("c_tok").as("n_total"), count(lit(1)).as("v_size"))
     val scored = dt
-      .join(broadcast(vocab), "token")
+      .join(vocab, "token")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(

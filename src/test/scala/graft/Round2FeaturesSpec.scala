@@ -49,7 +49,12 @@ class Round2FeaturesSpec extends AnyFunSuite {
       "activate" -> "activ", "angulariti" -> "angular", "homologous" -> "homolog",
       "effective" -> "effect",
       "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
-      "controll" -> "control", "roll" -> "roll")
+      "controll" -> "control", "roll" -> "roll",
+      // recursive y-rule (cons(y) = !cons(prev), chaining through y-runs)
+      // — the cases the SQL oracle's y-run-parity closed form must match
+      "syzygy" -> "syzygi", "sayyid" -> "sayyid", "gypsy" -> "gypsi",
+      "yyy" -> "yyi", "crying" -> "cry", "saying" -> "sai",
+      "enjoyed" -> "enjoi", "obeys" -> "obei", "tray" -> "trai")
     val bad = vectors.filterNot { case (in, out) => PorterStemmer.stem(in) == out }
       .map { case (in, out) => s"$in: expected $out, got ${PorterStemmer.stem(in)}" }
     assert(bad.isEmpty, bad.mkString("; "))
