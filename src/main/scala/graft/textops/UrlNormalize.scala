@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
  * frontier emits); dot-segment resolution and percent-decoding are out
  * of scope and documented here rather than half-implemented.
  *
- * Everything is pure column algebra (regexp extracts + array ops) — a
- * map-only stage that stays inside whole-stage codegen; the dedup
- * grouping downstream is the only shuffle.
+ * Everything is pure column algebra — a map-only stage with no UDF and
+ * no serialization boundary: the regexp extracts/replaces live in
+ * whole-stage codegen, while the query-param filter/sort are Catalyst
+ * higher-order functions (interpreted expressions — Spark does not
+ * codegen lambda functions — still columnar, still fused in one
+ * Project). The dedup grouping downstream is the only shuffle.
  */
 object UrlNormalize {
 

@@ -98,6 +98,30 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(row.getAs[String]("sf") === "Cars") // original sf preserved
   }
 
+  test("lm quality joins hash, url canonicalization stays in codegen") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    // the only nested-loop allowed is the hinted 1-row totals broadcast;
+    // the vocabulary join must never degrade to a cartesian product
+    val lmPlan = graft.textops.LmQuality.crossEntropy(docs)
+      .queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("CartesianProduct"), "LM scoring plans a cartesian product")
+    // canonicalization is pure column algebra, no UDF, no shuffle: the
+    // regexp stages codegen ("*(n)" spans); the param filter/sort are
+    // higher-order Catalyst expressions (interpreted, still one Project).
+    // (a local Seq relation would be constant-folded away entirely —
+    // plan over a range leaf so the expression pipeline is visible)
+    val uPlan = graft.textops.UrlNormalize
+      .syntheticUrls(spark.range(4).select(col("id").as("doc_id")))
+      .withColumn("canonical_url",
+        graft.textops.UrlNormalize.canonicalize(col("url")))
+      .queryExecution.executedPlan.toString
+    assert(uPlan.contains("*(1)"), "url construction fell out of codegen")
+    assert(!uPlan.contains("ScalaUDF") && !uPlan.contains("BatchEvalPython"),
+      "url canonicalization left column algebra")
+    assert(!uPlan.contains("Exchange"), "url canonicalization is not map-only")
+  }
+
   test("connected-components star rounds are join-based, no cartesian, no arrays") {
     import spark.implicits._
     val edges = Seq.tabulate(200)(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
